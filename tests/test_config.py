@@ -1,0 +1,76 @@
+import os
+
+from mmgclip_tpu.config import Config, compose, recompose, save_snapshot
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+
+def test_compose_binary_train_config():
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf")
+    assert cfg.optimizer.name == "adamw"
+    assert cfg.optimizer.config.learning_rate == 5e-5
+    assert cfg.scheduler.name == "cosine"
+    assert cfg.scheduler.config.epochs == 30
+    assert cfg.dataset.name == "ImageLabelDataset"
+    assert cfg.dataset.config.enums_class == "BenignMalignantDatasetLabels"
+    assert cfg.dataset.percentage.name == "100percent"
+    assert cfg.tokenizer.config.sequence_length == 256
+    assert cfg.dataloader.train.batch_size == 32
+    assert cfg.loss.config.loss_name == "CLIPLoss"
+    assert cfg.projection.config.projection_name == "LinearProjectionLayer"
+    assert cfg.projection.config.output_projection_dimension == 512
+    assert cfg.networks.logit_temperature == 0.07
+    assert cfg.networks.dropout.config.dropout == 0.5
+    assert cfg.base.seed == 42
+
+
+def test_interpolation_resolves_metrics_and_run_dir():
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf")
+    # ${dataset.config.enums_class} interpolation inside the metrics list
+    assert cfg.experiments.config.metrics == ["BenignMalignantDatasetLabels"]
+    # ${hydra:run.dir} resolved into checkpoint dir
+    assert cfg.checkpoints.checkpoints_export_dir.endswith("/checkpoints")
+    assert cfg.checkpoints.checkpoints_export_dir.startswith("outputs/")
+    assert "${" not in str(cfg.to_dict())
+
+
+def test_exam_reports_config_derived_paths():
+    cfg = compose(CONFIG_DIR, "train_exam_reports_clf")
+    assert cfg.dataset.name == "StudyReportDataset"
+    assert cfg.dataset.config.n_images_per_study == 4
+    assert cfg.base.features_export_dir == "outputs/dataset/reports_studies/4_avgpool"
+    assert cfg.experiments.config.metrics == [
+        "BenignMalignantDatasetLabels",
+        "MassShapeLabels",
+        "birads",
+    ]
+
+
+def test_overrides_value_and_group():
+    cfg = compose(
+        CONFIG_DIR,
+        "train_binary_class_clf",
+        overrides=["base.seed=7", "projection=2xLinear512", "dataloader.train.batch_size=64"],
+    )
+    assert cfg.base.seed == 7
+    assert cfg.projection.config.projection_name == "MultiLinearHead"
+    assert cfg.projection.config.output_projection_dimension == [768, 512]
+    assert cfg.dataloader.train.batch_size == 64
+
+
+def test_snapshot_roundtrip(tmp_path):
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf")
+    run_dir = str(tmp_path / "run")
+    save_snapshot(cfg, run_dir)
+    loaded = recompose(run_dir)
+    assert loaded.dataset.name == cfg.dataset.name
+    assert loaded.base.seed == cfg.base.seed
+
+
+def test_config_attr_access_and_paths():
+    cfg = Config({"a": {"b": {"c": 1}}})
+    assert cfg.a.b.c == 1
+    assert cfg.get_path("a.b.c") == 1
+    cfg.set_path("a.b.d", 2)
+    assert cfg.a.b.d == 2
+    assert cfg.get_path("missing.key", "fallback") == "fallback"
