@@ -1,0 +1,34 @@
+from .bert import BertConfig, BertEncoder, eos_pool, init_bert, load_hf_weights
+from .clip import MMGCLIP, PromptClassifier, l2_normalize
+from .convnext import ConvNeXt, ConvNeXtConfig, init_convnext, load_torchvision_weights
+from .projections import (
+    LinearProjectionLayer,
+    MLPProjectionHead,
+    MultiLinearHead,
+    ProjectionHead,
+    get_projection_head,
+)
+from .resnet import ResNet50Encoder, ResNetConfig, init_resnet50
+
+__all__ = [
+    "BertConfig",
+    "BertEncoder",
+    "eos_pool",
+    "init_bert",
+    "load_hf_weights",
+    "MMGCLIP",
+    "PromptClassifier",
+    "l2_normalize",
+    "ConvNeXt",
+    "ConvNeXtConfig",
+    "init_convnext",
+    "load_torchvision_weights",
+    "LinearProjectionLayer",
+    "MLPProjectionHead",
+    "MultiLinearHead",
+    "ProjectionHead",
+    "get_projection_head",
+    "ResNet50Encoder",
+    "ResNetConfig",
+    "init_resnet50",
+]

@@ -1,0 +1,290 @@
+"""MMGCLIP: dual-encoder CLIP head over frozen towers, as a jitted program.
+
+Functional rebuild of the reference model
+(reference: mmgclip/networks/mmgclip_model.py:12-166):
+
+* image path: precomputed 768-d features are flattened (ConvNextTiny store)
+  or pushed through a partially-trainable ResNet-50;
+* text path: frozen BERT tower -> EOS pooling;
+* per-tower projection heads -> L2-normalize -> learnable logit scale ->
+  symmetric [n, n] logit matrices.
+
+The TPU-first differences: the forward is one pure function under `jax.jit`
+(shardable with pjit over a data mesh), frozen tower params live outside the
+trainable pytree so the optimizer state is tiny, and the text tower can be
+skipped entirely when cached text embeddings are supplied (frozen tower =>
+identical numerics, reference recomputes BERT every step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.compose import Config
+from ..config.registry import NETWORKS
+from ..utils.logging import logger
+from .bert import BertConfig, BertEncoder, eos_pool
+from .projections import get_projection_head
+from .resnet import ResNetConfig, ResNet50Encoder
+
+
+def _bert_config_from(config: Config, vocab_size: Optional[int]) -> BertConfig:
+    overrides = config.get_path("networks.text_encoder.config", {}) or {}
+    kwargs = {}
+    for key in (
+        "vocab_size",
+        "hidden_size",
+        "num_hidden_layers",
+        "num_attention_heads",
+        "intermediate_size",
+        "max_position_embeddings",
+    ):
+        if key in overrides:
+            kwargs[key] = int(overrides[key])
+    if vocab_size is not None and "vocab_size" not in kwargs:
+        kwargs["vocab_size"] = int(vocab_size)
+    return BertConfig(**kwargs)
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class MMGCLIP:
+    """Model facade: owns modules + frozen params, exposes pure apply fns.
+
+    ``trainable_params`` is the pytree the optimizer sees:
+    ``{image_projection?, text_projection?, logit_scale, image_encoder?}``.
+    """
+
+    def __init__(self, config: Config, seed: int = 0, vocab_size: Optional[int] = None):
+        self.config = config
+        self.seed = seed
+
+        image_encoder_name = config.networks.image_encoder.name
+        self.image_encoder_name = image_encoder_name
+        self.image_features_dimension = int(config.networks.image_encoder.image_features_dimension)
+
+        # --- text tower (frozen BERT) ---------------------------------
+        self.bert_config = _bert_config_from(config, vocab_size)
+        self.text_module = BertEncoder(self.bert_config)
+        dummy_tokens = jnp.zeros((1, 8), jnp.int32)
+        self.text_variables = self.text_module.init(jax.random.key(seed), dummy_tokens)
+        self.text_output_dimension = self.bert_config.hidden_size
+
+        # --- optional trainable image tower (ResNet-50 ablation path) --
+        self.image_module = None
+        image_encoder_params = None
+        if image_encoder_name == "ResNet50Encoder":
+            rn_overrides = config.get_path("networks.image_encoder.config", {}) or {}
+            rn_config = ResNetConfig.micro() if rn_overrides.get("micro") else ResNetConfig.resnet50()
+            self.image_module = ResNet50Encoder(rn_config)
+            dummy = jnp.zeros((1, self.image_features_dimension), jnp.float32)
+            self.image_variables = self.image_module.init(jax.random.key(seed + 1), dummy)
+            image_encoder_params = self.image_variables["params"]
+            logger.info("Using ResNet50Encoder image tower.")
+
+        # --- projection heads ------------------------------------------
+        projection_name = config.projection.config.projection_name
+        self.projection_name = projection_name
+        dropout = float(config.get_path("networks.dropout.config.dropout", 0.0))
+        self.image_projection = None
+        self.text_projection = None
+        trainable: Dict[str, Any] = {}
+        if projection_name != "ZeroProjection":
+            head_cls = get_projection_head(projection_name)
+            proj_dim = config.projection.config.output_projection_dimension
+            image_in = (
+                2048 if image_encoder_name == "ResNet50Encoder" else self.image_features_dimension
+            )
+            self.image_projection = head_cls(
+                embedding_dim=image_in, projection_dim=proj_dim, dropout=dropout
+            )
+            self.text_projection = head_cls(
+                embedding_dim=self.text_output_dimension, projection_dim=proj_dim, dropout=dropout
+            )
+            img_dummy = jnp.zeros((1, image_in), jnp.float32)
+            txt_dummy = jnp.zeros((1, self.text_output_dimension), jnp.float32)
+            trainable["image_projection"] = self.image_projection.init(
+                jax.random.key(seed + 2), img_dummy
+            )["params"]
+            trainable["text_projection"] = self.text_projection.init(
+                jax.random.key(seed + 3), txt_dummy
+            )["params"]
+            logger.info(
+                f"Embeddings projected to {proj_dim} features using {projection_name}."
+            )
+
+        # temperature parameter controlling the logit range
+        # (reference: mmgclip_model.py:52)
+        temperature = float(config.networks.logit_temperature)
+        trainable["logit_scale"] = jnp.asarray(np.log(1.0 / temperature), jnp.float32)
+        if image_encoder_params is not None:
+            trainable["image_encoder"] = image_encoder_params
+        self.trainable_params = trainable
+
+        self.loss_name = str(config.get_path("loss.config.loss_name", "CLIPLoss"))
+
+    # ------------------------------------------------------------------
+    # pure apply functions (safe under jit / pjit)
+    # ------------------------------------------------------------------
+    def apply_image_tower(self, params: Dict, image_features, train: bool = False):
+        """Flatten stored features; ResNet path re-encodes them
+        (reference: mmgclip_model.py:76-93)."""
+        flat = image_features.reshape(image_features.shape[0], -1)
+        if self.image_module is not None:
+            variables = {"params": params["image_encoder"], **{
+                k: v for k, v in self.image_variables.items() if k != "params"
+            }}
+            return self.image_module.apply(variables, flat, train=False)
+        return flat
+
+    def apply_text_tower(self, text_tokens: Dict):
+        """Frozen BERT -> EOS pooling (reference: mmgclip_model.py:95-115)."""
+        hidden = self.text_module.apply(
+            self.text_variables,
+            text_tokens["input_ids"],
+            attention_mask=text_tokens["attention_mask"],
+            token_type_ids=text_tokens.get("token_type_ids"),
+            deterministic=True,
+        )
+        return eos_pool(hidden, text_tokens["attention_mask"])
+
+    def project_image(self, params: Dict, features, train: bool = False, rng=None):
+        if self.image_projection is None:
+            return features
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return self.image_projection.apply(
+            {"params": params["image_projection"]}, features, deterministic=not train, rngs=rngs
+        )
+
+    def project_text(self, params: Dict, features, train: bool = False, rng=None):
+        if self.text_projection is None:
+            return features
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return self.text_projection.apply(
+            {"params": params["text_projection"]}, features, deterministic=not train, rngs=rngs
+        )
+
+    def forward(
+        self,
+        params: Dict,
+        batch: Dict,
+        train: bool = False,
+        rng=None,
+        validation: bool = False,
+        text_features: Optional[jnp.ndarray] = None,
+        text_features2: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full forward (reference: mmgclip_model.py:117-166).
+
+        ``text_features``/``text_features2`` short-circuit the frozen text
+        tower with cached EOS-pooled activations.
+        """
+        image_features = self.apply_image_tower(params, batch["image_features"], train)
+        if text_features is None:
+            text_features = self.apply_text_tower(batch["text_tokens"])
+
+        rng_img = rng_txt = rng_txt2 = None
+        if rng is not None:
+            rng_img, rng_txt, rng_txt2 = jax.random.split(rng, 3)
+        image_embeddings = l2_normalize(self.project_image(params, image_features, train, rng_img))
+        text_embeddings = l2_normalize(self.project_text(params, text_features, train, rng_txt))
+
+        logit_scale = jnp.exp(params["logit_scale"])
+        logits_per_image = logit_scale * image_embeddings @ text_embeddings.T
+        logits_per_text = logit_scale * text_embeddings @ image_embeddings.T
+
+        output = {
+            "image_embeddings": image_embeddings,
+            "text_embeddings": text_embeddings,
+            "logit_scale": logit_scale,
+            "logits_per_image": logits_per_image,
+            "logits_per_text": logits_per_text,
+        }
+
+        # second text pass for the T2T term (reference: mmgclip_model.py:154-164)
+        if self.loss_name == "MMGCLIPLoss" and not validation:
+            if text_features2 is None and "image_impression_tokens" in batch:
+                text_features2 = self.apply_text_tower(batch["image_impression_tokens"])
+            if text_features2 is not None:
+                emb2 = l2_normalize(self.project_text(params, text_features2, train, rng_txt2))
+                output["text_embeddings2"] = emb2
+        return output
+
+    __call__ = forward
+
+    def count_parameters(self, params: Optional[Dict] = None) -> int:
+        params = params if params is not None else self.trainable_params
+        leaves = jax.tree_util.tree_leaves(params)
+        total = int(sum(np.prod(np.asarray(leaf).shape) for leaf in leaves))
+        logger.info(f"Total Trainable Params: {total}")
+        return total
+
+
+class PromptClassifier:
+    """Zero-shot wrapper (reference: mmgclip_model.py:168-249).
+
+    Tokenizes an arbitrary prompt list, runs one forward, softmaxes
+    ``logits_per_image``.  ``precompute(class_list)`` caches the prompt-bank
+    text embeddings so repeated cascade steps cost one matmul each.
+    """
+
+    def __init__(self, model: MMGCLIP, tokenizer, params: Optional[Dict] = None):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.params = params if params is not None else model.trainable_params
+        self._text_cache: Dict[tuple, jnp.ndarray] = {}
+
+    def encode_prompts(self, class_list) -> jnp.ndarray:
+        key = tuple(class_list)
+        if key not in self._text_cache:
+            tokens = self.tokenizer(
+                list(class_list),
+                padding="max_length",
+                truncation=True,
+                max_length=self.model.config.tokenizer.config.sequence_length,
+            )
+            tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
+            pooled = self.model.apply_text_tower(tokens)
+            emb = l2_normalize(self.model.project_text(self.params, pooled, train=False))
+            self._text_cache[key] = emb
+        return self._text_cache[key]
+
+    def __call__(self, image_features, class_list, visualize: bool = False, **_):
+        image_features = jnp.asarray(image_features)
+        if image_features.ndim == 1:
+            image_features = image_features[None, :]
+        feats = self.model.apply_image_tower(self.params, image_features)
+        image_embeddings = l2_normalize(self.model.project_image(self.params, feats, train=False))
+        text_embeddings = self.encode_prompts(class_list)
+        logit_scale = jnp.exp(self.params["logit_scale"])
+        logits = logit_scale * image_embeddings @ text_embeddings.T
+        sims = jax.nn.softmax(logits, axis=-1)
+        return {
+            "classes_similarities": sims,
+            "similarities_argmax": int(jnp.argmax(sims, axis=-1)[0]),
+            "class_list": list(class_list),
+        }
+
+
+@NETWORKS.register("ConvNextTiny")
+def _convnext_factory(**kwargs):
+    from .convnext import ConvNeXt, ConvNeXtConfig
+
+    return ConvNeXt(ConvNeXtConfig.tiny(**kwargs))
+
+
+@NETWORKS.register("ResNet50Encoder")
+def _resnet_factory(**kwargs):
+    return ResNet50Encoder(ResNetConfig.resnet50())
+
+
+@NETWORKS.register("BertEncoder")
+def _bert_factory(**kwargs):
+    return BertEncoder(BertConfig(**kwargs))

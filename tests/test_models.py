@@ -1,0 +1,245 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from mmgclip_tpu.config import Config, compose
+from mmgclip_tpu.data.tokenizer import Tokenizer
+from mmgclip_tpu.models import (
+    BertConfig,
+    ConvNeXtConfig,
+    MMGCLIP,
+    PromptClassifier,
+    eos_pool,
+    init_bert,
+    init_convnext,
+    init_resnet50,
+    ResNetConfig,
+    get_projection_head,
+)
+from mmgclip_tpu.ops import attention_reference, flash_attention, fuse_views, intensity_transform
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+TINY_TEXT = {
+    "config": {
+        "vocab_size": 512,
+        "hidden_size": 64,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "intermediate_size": 128,
+        "max_position_embeddings": 64,
+    }
+}
+
+
+def tiny_config(**over):
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf")
+    cfg.networks.text_encoder = Config({"name": "BertEncoder", **TINY_TEXT})
+    cfg.tokenizer.config.sequence_length = 32
+    for key, value in over.items():
+        cfg.set_path(key, value)
+    return cfg
+
+
+def test_flash_attention_matches_reference():
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 2, 128, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32) for _ in range(3))
+    mask = jnp.ones((b, s), jnp.int32).at[:, 100:].set(0)
+    ref = attention_reference(q, k, v, mask)
+    out = flash_attention(q, k, v, mask, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_eos_pool_picks_last_valid_token():
+    hidden = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+    mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 1]])
+    pooled = eos_pool(hidden, mask)
+    np.testing.assert_array_equal(np.asarray(pooled[0]), np.asarray(hidden[0, 2]))
+    np.testing.assert_array_equal(np.asarray(pooled[1]), np.asarray(hidden[1, 3]))
+
+
+def test_bert_forward_shape_and_determinism():
+    config = BertConfig.tiny()
+    module, params = init_bert(config, seed=0)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 512, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    out1 = module.apply(params, ids, attention_mask=mask, deterministic=True)
+    out2 = module.apply(params, ids, attention_mask=mask, deterministic=True)
+    assert out1.shape == (2, 16, 64)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_bert_padding_invariance():
+    """Padding tokens must not change earlier positions (mask correctness)."""
+    config = BertConfig.tiny()
+    module, params = init_bert(config, seed=0)
+    ids = jnp.asarray([[7, 8, 9, 10, 0, 0, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]], jnp.int32)
+    ids2 = jnp.asarray([[7, 8, 9, 10, 99, 99, 99, 99]], jnp.int32)
+    out1 = module.apply(params, ids, attention_mask=mask)
+    out2 = module.apply(params, ids2, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(out1[:, :4]), np.asarray(out2[:, :4]), atol=1e-5)
+
+
+def test_projection_heads_shapes():
+    x = jnp.ones((4, 96))
+    for name, kwargs, out_dim in [
+        ("LinearProjectionLayer", dict(projection_dim=32), 32),
+        ("MultiLinearHead", dict(projection_dim=[64, 32]), 32),
+        ("MLPProjectionHead", dict(projection_dim=32), 32),
+    ]:
+        head = get_projection_head(name)(embedding_dim=96, dropout=0.2, **kwargs)
+        params = head.init(jax.random.key(0), x)
+        out = head.apply(params, x, deterministic=True)
+        assert out.shape == (4, out_dim), name
+
+
+def test_linear_projection_has_no_bias():
+    head = get_projection_head("LinearProjectionLayer")(embedding_dim=8, projection_dim=4)
+    params = head.init(jax.random.key(0), jnp.ones((1, 8)))
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = [jax.tree_util.keystr(path) for path, _ in flat]
+    assert not any("bias" in n for n in names)
+
+
+def test_convnext_shapes_and_classifier():
+    config = ConvNeXtConfig.micro()
+    module, params = init_convnext(config, image_size=64)
+    x = jnp.ones((2, 64, 64, 3))
+    feats = module.apply(params, x)
+    assert feats.shape == (2, 768)
+    logits = module.apply(params, x, classify=True)
+    assert logits.shape == (2, 2)
+    fmap = module.apply(params, x, pool=False)
+    assert fmap.shape == (2, 2, 2, 768)
+
+
+def test_resnet50_encoder_from_flat_features():
+    config = ResNetConfig.micro()
+    module, variables = init_resnet50(config, image_size=64)
+    flat = jnp.ones((2, 768))
+    out = module.apply(variables, flat)
+    assert out.shape == (2, config.width * 32)
+
+
+def test_intensity_transform_matches_reference_math():
+    # uint8 pixel p: ToTensor -> p/255, *65535, (x-32767.5)/32767.5
+    pixels = np.asarray([[0, 128, 255]], np.uint8)
+    out = np.asarray(intensity_transform(jnp.asarray(pixels)))
+    expected = (pixels.astype(np.float64) / 255.0 * 65535.0 - 32767.5) / 32767.5
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_fuse_views_methods():
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16)), jnp.float32)
+    assert fuse_views(v, "maxpool").shape == (16,)
+    assert fuse_views(v, "avgpool").shape == (16,)
+    assert fuse_views(v, "stack").shape == (4, 16)
+    assert fuse_views(v, "concat").shape == (64,)
+    np.testing.assert_allclose(np.asarray(fuse_views(v, "avgpool")), np.asarray(v.mean(0)), atol=1e-6)
+    with pytest.raises(ValueError):
+        fuse_views(v, "nope")
+
+
+def _batch(model_cfg, tokenizer, n=4):
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(n, 1, 768, 1, 1)), jnp.float32)
+    texts = [f"Finding suggesting benign number {i}." for i in range(n)]
+    tokens = tokenizer(texts, max_length=32)
+    return {
+        "image_features": feats,
+        "text_tokens": {k: jnp.asarray(v) for k, v in tokens.items()},
+    }
+
+
+def test_mmgclip_forward_output_contract():
+    cfg = tiny_config()
+    tok = Tokenizer.from_pretrained("wordpiece-test", sequence_length=32)
+    model = MMGCLIP(cfg, seed=0, vocab_size=tok.vocab_size)
+    batch = _batch(cfg, tok)
+    out = model.forward(model.trainable_params, batch)
+    assert out["image_embeddings"].shape == (4, 512)
+    assert out["text_embeddings"].shape == (4, 512)
+    assert out["logits_per_image"].shape == (4, 4)
+    assert out["logits_per_text"].shape == (4, 4)
+    np.testing.assert_allclose(
+        np.asarray(out["logits_per_text"]), np.asarray(out["logits_per_image"].T), atol=1e-5
+    )
+    # embeddings are unit-norm
+    norms = np.linalg.norm(np.asarray(out["image_embeddings"]), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # logit scale starts at 1/0.07
+    np.testing.assert_allclose(float(out["logit_scale"]), 1 / 0.07, rtol=1e-5)
+
+
+def test_mmgclip_cached_text_matches_recompute():
+    cfg = tiny_config()
+    tok = Tokenizer.from_pretrained("wordpiece-test", sequence_length=32)
+    model = MMGCLIP(cfg, seed=0, vocab_size=tok.vocab_size)
+    batch = _batch(cfg, tok)
+    pooled = model.apply_text_tower(batch["text_tokens"])
+    out_recompute = model.forward(model.trainable_params, batch)
+    out_cached = model.forward(model.trainable_params, batch, text_features=pooled)
+    np.testing.assert_allclose(
+        np.asarray(out_recompute["logits_per_image"]),
+        np.asarray(out_cached["logits_per_image"]),
+        atol=1e-5,
+    )
+
+
+def test_mmgclip_zero_projection():
+    # ZeroProjection requires matching tower dims (as in the reference)
+    cfg = tiny_config()
+    cfg.projection.config = Config({"projection_name": "ZeroProjection"})
+    cfg.networks.image_encoder.image_features_dimension = 64
+    tok = Tokenizer.from_pretrained("wordpiece-test", sequence_length=32)
+    model = MMGCLIP(cfg, seed=0, vocab_size=tok.vocab_size)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image_features": jnp.asarray(rng.normal(size=(4, 1, 64, 1, 1)), jnp.float32),
+        "text_tokens": {
+            k: jnp.asarray(v)
+            for k, v in tok([f"text {i}" for i in range(4)], max_length=32).items()
+        },
+    }
+    out = model.forward(model.trainable_params, batch)
+    # without projection, embedding dims are the tower dims
+    assert out["image_embeddings"].shape == (4, 64)
+    assert out["text_embeddings"].shape == (4, 64)
+    assert "image_projection" not in model.trainable_params
+
+
+def test_prompt_classifier_output():
+    cfg = tiny_config()
+    tok = Tokenizer.from_pretrained("wordpiece-test", sequence_length=32)
+    model = MMGCLIP(cfg, seed=0, vocab_size=tok.vocab_size)
+    clf = PromptClassifier(model, tok)
+    feats = jnp.asarray(np.random.default_rng(1).normal(size=(1, 768)), jnp.float32)
+    out = clf(feats, ["Mammogram revealed a mass.", "No findings are present."])
+    sims = np.asarray(out["classes_similarities"])
+    assert sims.shape == (1, 2)
+    np.testing.assert_allclose(sims.sum(), 1.0, atol=1e-5)
+    assert out["similarities_argmax"] in (0, 1)
+    # cache hit: second call reuses prompt embeddings
+    out2 = clf(feats, ["Mammogram revealed a mass.", "No findings are present."])
+    np.testing.assert_array_equal(sims, np.asarray(out2["classes_similarities"]))
+
+
+def test_tokenizer_fallback_contract():
+    tok = Tokenizer.from_pretrained("definitely/not-cached", sequence_length=16)
+    assert tok.is_fallback
+    out = tok(["Mass margin is circumscribed.", "No mass."])
+    assert out["input_ids"].shape == (2, 16)
+    assert out["attention_mask"].shape == (2, 16)
+    assert out["attention_mask"][0].sum() > out["attention_mask"][1].sum()
+    # deterministic across instances
+    tok2 = Tokenizer.from_pretrained("other/name", sequence_length=16)
+    out2 = tok2(["Mass margin is circumscribed.", "No mass."])
+    np.testing.assert_array_equal(out["input_ids"], out2["input_ids"])
