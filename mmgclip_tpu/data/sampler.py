@@ -1,0 +1,41 @@
+"""Class-balanced sampling (reference: mmgclip/dataset/datasampler.py:6-58).
+
+Round-robin sampling-with-replacement from per-class index pools, keyed on any
+batch field (default ``image_description``).  Uses an explicit numpy Generator
+instead of global numpy state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..utils.logging import logger
+
+
+class ImbalancedDatasetSampler:
+    def __init__(self, dataset, class_name: str = "image_description", seed: int = 0):
+        logger.info("Using a sampler for handling class imbalance.")
+        self.class_name = class_name
+        self.num_samples = len(dataset)
+        self._rng = np.random.default_rng(seed)
+
+        labels = np.asarray([dataset[i][class_name] for i in range(len(dataset))], dtype=object)
+        unique, counts = np.unique(labels, return_counts=True)
+        order = np.argsort(-counts)  # most frequent first (value_counts order)
+        self.class_indices = [np.where(labels == unique[i])[0] for i in order]
+        self.weights = 1.0 / counts[order]
+
+    def __iter__(self) -> Iterator[int]:
+        per_class = self.num_samples // len(self.class_indices)
+        for _ in range(per_class):
+            picks = [
+                self._rng.choice(indices, size=per_class, replace=True)
+                for indices in self.class_indices
+            ]
+            for class_picks in picks:
+                yield int(class_picks[0])
+
+    def __len__(self) -> int:
+        return self.num_samples
