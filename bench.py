@@ -1,0 +1,73 @@
+"""Benchmark: mammogram encode throughput (images/sec/chip).
+
+Measures the framework's hot path — the fused device-side preprocessing +
+ConvNeXt-Tiny encode that replaces the reference's serial per-image Python
+loop (reference: mmgclip/networks/image_features.py:87-117) — in steady state
+on the available accelerator.  Raw uint8 pixels cross the host->device link;
+intensity transform and the tower run as one jitted bf16 program.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+vs_baseline is value / 5000 (the BASELINE.json north-star target;
+the reference publishes no throughput numbers).
+
+Env knobs: BENCH_IMAGE_SIZE (default 256), BENCH_BATCH (default 256),
+BENCH_ITERS (default 20), BENCH_DTYPE (bfloat16|float32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+    from mmgclip_tpu.ops.preprocess import intensity_transform
+
+    size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+
+    config = ConvNeXtConfig(in_channels=1, dtype=dtype)
+    module, params = init_convnext(config, seed=0, image_size=size)
+    params = jax.tree_util.tree_map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+    @jax.jit
+    def encode(pixels_u8):
+        x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
+        return module.apply(params, x)
+
+    rng = np.random.default_rng(0)
+    pixels = rng.integers(0, 256, size=(batch, size, size), dtype=np.uint8)
+
+    # warmup / compile
+    device_pixels = jnp.asarray(pixels)
+    encode(device_pixels).block_until_ready()
+
+    # steady state: re-feed host buffers to include H2D transfer in the loop
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = encode(jnp.asarray(pixels))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    images_per_sec = batch * iters / elapsed
+    result = {
+        "metric": f"images/sec/chip (CLIP encode, {size}x{size} gray, bf16, batch {batch})",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / 5000.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,7 @@ class ImageLabelDataset:
     def collate_fn(self, instances: List[Dict]) -> Dict:
         idx = np.asarray([ins["index"] for ins in instances], np.int64)
         return {
+            "indices": idx,
             "image_features": self._features[idx],
             "text_tokens": {k: v[idx] for k, v in self._tokens.items()},
             "image_description": [ins["image_description"] for ins in instances],
@@ -312,6 +313,7 @@ class StudyReportDataset:
     def collate_fn(self, instances: List[Dict]) -> Dict:
         idx = np.asarray([ins["index"] for ins in instances], np.int64)
         return {
+            "indices": idx,
             "image_features": self._features[idx],
             "text_tokens": {k: v[idx] for k, v in self._tokens.items()},
             "image_impression_tokens": {k: v[idx] for k, v in self._impression_tokens.items()},

@@ -1,0 +1,4 @@
+from . import metrics
+from .evaluator import Evaluator
+
+__all__ = ["metrics", "Evaluator"]

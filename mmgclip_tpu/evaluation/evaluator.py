@@ -1,0 +1,335 @@
+"""Test-time evaluation harness.
+
+Rebuild of the reference Evaluator (reference: mmgclip/evaluator.py:22-729):
+batch-embeds the test split once, then dispatches the configured evaluation
+methods per enum class —
+
+* ``zeroshot``       : per-class ["No {c}", "{c}"] prompt pairs, per-class ROC
+                       (reference: evaluator.py:258-319);
+* ``zeroshot_label_prompt`` : one fixed prompt per class, argmax prediction,
+                       per-class + interpolated-mean ROC, 1000x bootstrap 95%
+                       CI for binary tasks (reference: evaluator.py:321-478);
+* ``confustion_matrix`` (sic — key kept for config parity): all prompts at
+                       once, confusion-matrix heatmap (reference: :147-256).
+
+TPU-first: the whole test set embeds in a handful of jitted batches; prompt
+embeddings are computed once per class list and cached.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.labels import process_class_list
+from ..models.clip import MMGCLIP, l2_normalize
+from ..prompts.enums import get_enum_class
+from ..utils.logging import logger
+from ..utils.seeding import create_directory_if_not_exists
+from ..utils.table import Table
+from . import metrics as M
+
+_LABEL_PROMPTS = {
+    "BenignMalignantDatasetLabels": lambda classes: [f"Finding suggesting {label}." for label in classes],
+    "MassShapeLabels": lambda classes: [f"Mass shape is {label}." for label in classes],
+    "MassMarginLabels": lambda classes: [f"Mass margin is {label}." for label in classes],
+    "HasMassLabels": lambda classes: ["No mass was observed.", "Findings revealed a mass."],
+    "HasArchDistortion": lambda classes: ["Normal architecture is visible.", "Displayed architectural distortion."],
+    "HasCalcification": lambda classes: ["No calcifications are present.", "Finding suggesting calcifications."],
+}
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+class Evaluator:
+    def __init__(
+        self,
+        config,
+        test_dataloader=None,
+        tokenizer=None,
+        model: Optional[MMGCLIP] = None,
+        params=None,
+        cnn_eval: bool = False,
+    ):
+        logger.info("Running evaluator on test split.")
+        self.config = config
+        assert test_dataloader is not None, "Evaluation requires a test dataloader object."
+        self.test_dataloader = test_dataloader
+        self.tokenizer = tokenizer
+
+        if not cnn_eval:
+            if model is not None:
+                logger.info("Using trained model instance...")
+                self.model = model
+                self.params = params if params is not None else model.trainable_params
+            else:
+                from ..training.checkpoint import load_checkpoint
+
+                ckp_path = os.path.join(
+                    config.checkpoints.checkpoints_export_dir,
+                    config.checkpoints.checkpoints_file_name,
+                )
+                assert os.path.isfile(ckp_path), f'Checkpoint file path "{ckp_path}" does not exist.'
+                vocab = tokenizer.vocab_size if tokenizer is not None else None
+                self.model = MMGCLIP(config, seed=int(config.base.seed), vocab_size=vocab)
+                state = load_checkpoint(ckp_path, self.model.trainable_params)
+                self.params = state["params"]
+                logger.info(f"Loaded model from {ckp_path}.")
+        else:
+            logger.info("Evaluating CNN, use evaluate_cnn method.")
+            self.model = None
+            self.params = None
+
+        create_directory_if_not_exists(config.base.results_export_dir)
+        self._prompt_cache: Dict[tuple, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def encode_text(self, texts) -> np.ndarray:
+        """Texts -> normalized projected embeddings (reference: evaluator.py:67-80)."""
+        if isinstance(texts, dict):
+            tokens = {k: jnp.asarray(v) for k, v in texts.items()}
+        else:
+            key = tuple(texts)
+            if key in self._prompt_cache:
+                return self._prompt_cache[key]
+            raw = self.tokenizer(
+                list(texts), padding="longest", truncation=True,
+                max_length=int(self.config.tokenizer.config.sequence_length),
+            )
+            tokens = {k: jnp.asarray(v) for k, v in raw.items()}
+        pooled = self.model.apply_text_tower(tokens)
+        emb = np.asarray(l2_normalize(self.model.project_text(self.params, pooled, train=False)))
+        if not isinstance(texts, dict):
+            self._prompt_cache[tuple(texts)] = emb
+        return emb
+
+    def encode_image(self, batch) -> np.ndarray:
+        feats = self.model.apply_image_tower(self.params, jnp.asarray(batch["image_features"], jnp.float32))
+        return np.asarray(l2_normalize(self.model.project_image(self.params, feats, train=False)))
+
+    def _logit_scale(self) -> float:
+        return float(jnp.exp(self.params["logit_scale"]))
+
+    # ------------------------------------------------------------------
+    def zeroshot_eval(self, image_embeddings, label_names, classes_dict, key, use_logits=True):
+        """Per-class ["No X", "X"] ROC (reference: evaluator.py:258-319)."""
+        logger.info(f"Evaluating zero-shot prompt configuration for {key}.")
+        labels = [process_class_list([pl[key]]) for pl in label_names]
+        classes_prompts = process_class_list(list(classes_dict.keys()))
+        results = Table(["Class", "AUROC", "Accuracy", "F1"])
+        curves = []
+
+        for class_name in classes_prompts:
+            prompts = [f"No {class_name}", f"{class_name}"]
+            text_emb = self.encode_text(prompts)
+            sims = (self._logit_scale() if use_logits else 1.0) * image_embeddings @ text_emb.T
+            sims = M.softmax(sims, axis=1)
+            y_true = np.array([1 if class_name in label else 0 for label in labels])
+            if y_true.min() == y_true.max():
+                results.add_row([class_name, float("nan"), float("nan"), float("nan")])
+                continue
+            fpr, tpr, _ = M.roc_curve(y_true, sims[:, 1])
+            roc = M.auc(fpr, tpr)
+            preds = np.argmax(sims, axis=1)
+            results.add_row([class_name, roc, M.accuracy_score(y_true, preds), M.f1_score(y_true, preds)])
+            curves.append((class_name, fpr, tpr, roc))
+
+        self._plot_roc(curves, key, subdir="zeroshot")
+        return results
+
+    def zeroshot_label_prompt(self, image_embeddings, label_names, classes_dict, key, use_logits=True):
+        """Fixed prompt per class, argmax + bootstrap CI
+        (reference: evaluator.py:321-478)."""
+        logger.info(f"Evaluating zero-shot label prompts for {key}.")
+        labels = [process_class_list([pl[key]]) for pl in label_names]
+        classes_prompts = process_class_list(list(classes_dict.keys()))
+        prompts = _LABEL_PROMPTS[key](classes_prompts)
+
+        text_emb = self.encode_text(prompts)
+        sims = (self._logit_scale() if use_logits else 1.0) * image_embeddings @ text_emb.T
+        sims = M.softmax(sims, axis=1)
+
+        y_true = np.array([classes_dict[label[0].replace(" ", "").replace("-", "")] for label in labels])
+        y_pred = np.argmax(sims, axis=-1)
+
+        results: Dict = {}
+        curves = []
+        roc_list = []
+        for idx, prompt in enumerate(prompts):
+            y_bin = y_true == idx
+            if 0 < y_bin.sum() < len(y_bin):
+                roc = M.roc_auc_score(y_bin, sims[:, idx])
+                fpr, tpr, _ = M.roc_curve(y_bin, sims[:, idx])
+                curves.append((prompt, fpr, tpr, roc))
+                roc_list.append((fpr, tpr))
+            else:
+                roc = float("nan")
+            results[prompt] = {
+                "auc": roc,
+                "accuracy": float(np.mean((y_pred == idx) == y_bin)),
+            }
+
+        if roc_list:
+            mean_fpr, mean_tpr, _std, mean_auc = M.mean_roc_curve(roc_list)
+            results["mean_auc"] = mean_auc
+        self._plot_roc(curves, key, subdir="zeroshot_label_prompt")
+
+        # bootstrap CI for binary tasks (reference: evaluator.py:421-471)
+        if len(prompts) == 2 and len(np.unique(y_true)) == 2:
+            ci = M.bootstrap_auc_ci(y_true, sims[:, 1], n_iterations=1000, seed=int(self.config.base.seed))
+            results["auc_ci_mean"] = ci["mean"]
+            results["auc_ci_lower"] = ci["lower"]
+            results["auc_ci_higher"] = ci["upper"]
+            self._plot_ci_hist(ci, key)
+
+        results["accuracy"] = M.accuracy_score(y_true, y_pred)
+        results["f1score"] = M.f1_score(y_true, y_pred, average="binary" if len(classes_prompts) <= 2 else "micro")
+        return results
+
+    def clf_conf_matrix(self, image_embeddings, label_names, classes_dict, key, use_logits=True):
+        """All-prompts-at-once confusion matrix (reference: evaluator.py:147-256)."""
+        logger.info(f"Evaluating prompt classifier for {key}.")
+        labels = [[pl[key]] for pl in label_names]
+        y_true = np.array([classes_dict[label[0].replace(" ", "").replace("-", "")] for label in labels])
+
+        classes_prompts = process_class_list(list(classes_dict.keys()))
+        if "unknown" in classes_prompts:
+            classes_prompts.remove("unknown")
+
+        text_emb = self.encode_text(classes_prompts)
+        sims = self._logit_scale() * image_embeddings @ text_emb.T
+        sims = M.softmax(sims, axis=1)
+        y_pred = np.argmax(sims, axis=-1)
+
+        conf = M.confusion_matrix(y_true, y_pred, labels=range(len(classes_prompts)))
+        out_dir = create_directory_if_not_exists(
+            os.path.join(self.config.base.results_export_dir, "classifier")
+        )
+        try:
+            plt = _plt()
+            fig, ax = plt.subplots(figsize=(8, 6))
+            im = ax.imshow(conf, cmap="Blues")
+            ax.set_xticks(range(len(classes_prompts)), classes_prompts, rotation=45, ha="right")
+            ax.set_yticks(range(len(classes_prompts)), classes_prompts)
+            for i in range(conf.shape[0]):
+                for j in range(conf.shape[1]):
+                    ax.text(j, i, str(conf[i, j]), ha="center", va="center")
+            ax.set_title("Confusion Matrix")
+            fig.colorbar(im)
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, f"model_{key}_confusion_matrix.png"))
+            plt.close(fig)
+        except Exception as exc:  # plotting must never fail an eval run
+            logger.warning(f"Confusion-matrix plot failed: {exc}")
+        return conf
+
+    # ------------------------------------------------------------------
+    def _plot_roc(self, curves, key, subdir):
+        out_dir = create_directory_if_not_exists(
+            os.path.join(self.config.base.results_export_dir, subdir)
+        )
+        try:
+            plt = _plt()
+            fig, ax = plt.subplots()
+            for name, fpr, tpr, roc in curves:
+                ax.plot(fpr, tpr, lw=2, label=f"{name} (AUC = {roc:.4f})")
+            ax.plot([0, 1], [0, 1], color="navy", lw=2, linestyle="--")
+            ax.set_xlabel("False Positive Rate")
+            ax.set_ylabel("True Positive Rate")
+            ax.set_title("Receiver Operating Characteristic")
+            ax.legend(loc="lower right", fontsize=7)
+            fig.savefig(os.path.join(out_dir, f"model_{key}_classwise_roc.png"))
+            plt.close(fig)
+        except Exception as exc:
+            logger.warning(f"ROC plot failed: {exc}")
+
+    def _plot_ci_hist(self, ci, key):
+        out_dir = create_directory_if_not_exists(
+            os.path.join(self.config.base.results_export_dir, "zeroshot_label_prompt")
+        )
+        try:
+            plt = _plt()
+            fig, ax = plt.subplots()
+            ax.axvline(ci["mean"], color="green")
+            ax.axvline(ci["lower"], color="red", linestyle="--")
+            ax.axvline(ci["upper"], color="red", linestyle="--")
+            ax.set_title(f"Bootstrap AUC 95% CI ({ci['n_valid']} resamples)")
+            fig.savefig(os.path.join(out_dir, f"model_{key}_auc_CI.png"))
+            plt.close(fig)
+        except Exception as exc:
+            logger.warning(f"CI plot failed: {exc}")
+
+    # ------------------------------------------------------------------
+    def evaluate_experiment(self) -> List:
+        """Embed the test split, run the configured methods, write results.txt
+        (reference: evaluator.py:564-654)."""
+        image_embeddings = []
+        prompt_labels: List[Dict] = []
+        for batch in self.test_dataloader:
+            image_embeddings.append(self.encode_image(batch))
+            prompt_labels.extend(batch["prompt_labels"])
+        image_embeddings = np.concatenate(image_embeddings, axis=0)
+
+        methods = list(self.config.dataset.eval.method)
+        experiments_results = []
+        for enum_class_name in self.config.dataset.eval.enum_classes:
+            enum_class = get_enum_class(enum_class_name)
+            classes_dict = {label.name: label.value for label in enum_class}
+
+            if "zeroshot" in methods:
+                results = self.zeroshot_eval(image_embeddings, prompt_labels, classes_dict, enum_class_name)
+                logger.info(f"zeroshot results for {enum_class_name}:\n{results}")
+                experiments_results.append(results)
+            if "zeroshot_label_prompt" in methods:
+                results = self.zeroshot_label_prompt(image_embeddings, prompt_labels, classes_dict, enum_class_name)
+                logger.info(f"zeroshot_label_prompt results for {enum_class_name}:\n{results}")
+                experiments_results.append(results)
+            if "confustion_matrix" in methods:
+                self.clf_conf_matrix(image_embeddings, prompt_labels, classes_dict, enum_class_name)
+
+        with open(os.path.join(self.config.base.results_export_dir, "results.txt"), "w") as fh:
+            for result in experiments_results:
+                fh.write(str(result) + "\n\n")
+        return experiments_results
+
+    # ------------------------------------------------------------------
+    def evaluate_cnn(self, classifier_fn) -> Table:
+        """Supervised ConvNeXt-classifier baseline on stored features
+        (reference: evaluator.py:657-729).  ``classifier_fn``: pooled
+        [n, d] features -> [n, n_classes] logits."""
+        label_names: List[str] = []
+        posteriors = []
+        for batch in self.test_dataloader:
+            label_names.extend(batch["image_description"])
+            feats = np.asarray(batch["image_features"], np.float32)
+            feats = feats.reshape(feats.shape[0], -1)
+            logits = np.asarray(classifier_fn(jnp.asarray(feats)))
+            posteriors.append(M.softmax(logits / 2, axis=-1))
+        sims = np.concatenate(posteriors, axis=0)
+
+        enum_class = get_enum_class(self.config.dataset.eval.enum_classes[0])
+        classes_dict = {label.name: label.value for label in enum_class}
+        results = Table(["Class", "AUROC"])
+        curves = []
+        for idx, class_name in enumerate(classes_dict.keys()):
+            y_true = np.array([1 if class_name in label else 0 for label in label_names])
+            if y_true.min() == y_true.max():
+                results.add_row([class_name, float("nan")])
+                continue
+            fpr, tpr, _ = M.roc_curve(y_true, sims[:, idx])
+            roc = M.auc(fpr, tpr)
+            results.add_row([class_name, roc])
+            curves.append((class_name, fpr, tpr, roc))
+        self._plot_roc(curves, f"cnn_{self.config.dataset.eval.enum_classes[0]}_ova", subdir="ova")
+        return results

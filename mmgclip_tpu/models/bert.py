@@ -122,7 +122,7 @@ def init_bert(config: BertConfig, seed: int = 0):
     """Initialize (module, params) with a deterministic seed."""
     module = BertEncoder(config)
     dummy = jnp.zeros((1, 8), jnp.int32)
-    params = module.init(jax.random.key(seed), dummy, deterministic=True)
+    params = jax.jit(lambda k, x: module.init(k, x, deterministic=True))(jax.random.key(seed), dummy)
     return module, params
 
 

@@ -74,7 +74,7 @@ class MMGCLIP:
         self.bert_config = _bert_config_from(config, vocab_size)
         self.text_module = BertEncoder(self.bert_config)
         dummy_tokens = jnp.zeros((1, 8), jnp.int32)
-        self.text_variables = self.text_module.init(jax.random.key(seed), dummy_tokens)
+        self.text_variables = jax.jit(self.text_module.init)(jax.random.key(seed), dummy_tokens)
         self.text_output_dimension = self.bert_config.hidden_size
 
         # --- optional trainable image tower (ResNet-50 ablation path) --
@@ -85,7 +85,7 @@ class MMGCLIP:
             rn_config = ResNetConfig.micro() if rn_overrides.get("micro") else ResNetConfig.resnet50()
             self.image_module = ResNet50Encoder(rn_config)
             dummy = jnp.zeros((1, self.image_features_dimension), jnp.float32)
-            self.image_variables = self.image_module.init(jax.random.key(seed + 1), dummy)
+            self.image_variables = jax.jit(self.image_module.init)(jax.random.key(seed + 1), dummy)
             image_encoder_params = self.image_variables["params"]
             logger.info("Using ResNet50Encoder image tower.")
 
@@ -110,10 +110,10 @@ class MMGCLIP:
             )
             img_dummy = jnp.zeros((1, image_in), jnp.float32)
             txt_dummy = jnp.zeros((1, self.text_output_dimension), jnp.float32)
-            trainable["image_projection"] = self.image_projection.init(
+            trainable["image_projection"] = jax.jit(self.image_projection.init)(
                 jax.random.key(seed + 2), img_dummy
             )["params"]
-            trainable["text_projection"] = self.text_projection.init(
+            trainable["text_projection"] = jax.jit(self.text_projection.init)(
                 jax.random.key(seed + 3), txt_dummy
             )["params"]
             logger.info(

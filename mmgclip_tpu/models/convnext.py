@@ -97,8 +97,9 @@ class ConvNeXt(nn.Module):
 def init_convnext(config: ConvNeXtConfig, seed: int = 0, image_size: int = 64):
     module = ConvNeXt(config)
     dummy = jnp.zeros((1, image_size, image_size, config.in_channels), jnp.float32)
-    # init with classify=True so the head params exist for all call modes
-    params = module.init(jax.random.key(seed), dummy, classify=True)
+    # init with classify=True so the head params exist for all call modes;
+    # jitted: eager init dispatches op-by-op (minutes over a remote TPU link)
+    params = jax.jit(lambda k, x: module.init(k, x, classify=True))(jax.random.key(seed), dummy)
     return module, params
 
 

@@ -84,5 +84,5 @@ class ResNet50Encoder(nn.Module):
 def init_resnet50(config: ResNetConfig, seed: int = 0, image_size: int = 64):
     module = ResNet50Encoder(config)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    variables = module.init(jax.random.key(seed), dummy)
+    variables = jax.jit(module.init)(jax.random.key(seed), dummy)
     return module, variables

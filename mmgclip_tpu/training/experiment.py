@@ -1,0 +1,370 @@
+"""The training experiment: pjit-sharded CLIP fine-tuning over frozen towers.
+
+Rebuild of the reference train/validate/test life cycle
+(reference: mmgclip/experiments/ClassifierExperiment.py:23-344), TPU-first:
+
+* the train step is one jitted pure function — forward, loss, grad, AdamW
+  update — with params replicated and batch arrays sharded over the ``data``
+  mesh axis; under SPMD the [n, n] contrastive matrix partitions to
+  [local_n, global_n] with XLA inserting the all-gather over ICI;
+* the frozen text tower runs ONCE per dataset at init: EOS-pooled text
+  features for every row are cached into a device bank, and train batches
+  index the bank instead of re-running BERT (the reference recomputes the
+  frozen tower on every step — the heaviest FLOPs in its hot loop,
+  reference: mmgclip_model.py:106);
+* validation probes (malignancy / mass-shape / BI-RADS zero-shot AUCs) match
+  the reference's metric set (reference: ClassifierExperiment.py:134-289).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.registry import EXPERIMENTS
+from ..evaluation import metrics as M
+from ..losses import create_loss
+from ..models.clip import MMGCLIP, l2_normalize
+from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from ..prompts.enums import BenignMalignantDatasetLabels, MassShapeLabels
+from ..utils.logging import logger
+from ..utils.seeding import create_directory_if_not_exists
+from ..utils.tb import ScalarWriter
+from .checkpoint import load_checkpoint
+from .early_stopping import EarlyStopper
+from .optim import create_optimizer, create_scheduler, set_learning_rate
+
+
+def _base_dataset(split):
+    node = split
+    while hasattr(node, "dataset"):
+        node = node.dataset
+    return node
+
+
+@EXPERIMENTS.register("classification")
+class ClassifierExperiment:
+    def __init__(
+        self,
+        config=None,
+        train_dataloader=None,
+        valid_dataloader=None,
+        test_dataloader=None,
+        tokenizer=None,
+    ):
+        assert config is not None, "Missing training config object."
+        self.config = config
+        self.train_dataloader = train_dataloader
+        self.valid_dataloader = valid_dataloader
+        self.test_dataloader = test_dataloader
+        self.tokenizer = tokenizer
+        self.current_epoch = 0
+        self._time_start = self._time_end = None
+
+        seed = int(config.base.seed)
+        self.rng_key = jax.random.key(seed)
+
+        vocab = tokenizer.vocab_size if tokenizer is not None else None
+        self.model = MMGCLIP(config, seed=seed, vocab_size=vocab)
+        self.params = self.model.trainable_params
+        self.model.count_parameters(self.params)
+
+        self.loss_name = config.loss.config.loss_name
+        self.criterion = create_loss(self.loss_name)
+        logger.info(f"Using {self.loss_name} loss.")
+
+        self.optimizer = create_optimizer(
+            float(config.optimizer.config.learning_rate),
+            float(config.optimizer.config.weight_decay),
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.scheduler = create_scheduler(config)
+        logger.info(f"Using {type(self.scheduler).__name__} scheduler.")
+
+        self.ckp_path = os.path.join(
+            create_directory_if_not_exists(config.checkpoints.checkpoints_export_dir),
+            config.checkpoints.checkpoints_file_name,
+        )
+        self.early_stopper = EarlyStopper(patience=int(config.base.patience))
+        self.writer = ScalarWriter(config.base.tensorboard_export_dir)
+
+        # ---- mesh + shardings -------------------------------------------
+        batch_size = int(config.dataloader.train.batch_size)
+        n_devices = len(jax.devices())
+        data_size = n_devices if batch_size % max(n_devices, 1) == 0 else 1
+        self.mesh = create_mesh(data=data_size, model=1, devices=jax.devices()[:data_size])
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+        self.params = jax.device_put(self.params, self._replicated)
+        self.opt_state = jax.device_put(self.opt_state, self._replicated)
+        logger.info(f"Training over mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}.")
+
+        # ---- frozen-tower text banks -------------------------------------
+        self._text_bank = self._impression_bank = None
+        if train_dataloader is not None:
+            base = _base_dataset(train_dataloader.dataset)
+            self._text_bank = self._pool_tokens(base._tokens)
+            if getattr(base, "_impression_tokens", None) is not None and self.loss_name == "MMGCLIPLoss":
+                self._impression_bank = self._pool_tokens(base._impression_tokens)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._val_step = jax.jit(partial(self._val_step_impl))
+
+    # ------------------------------------------------------------------
+    def _pool_tokens(self, tokens: Dict[str, np.ndarray], chunk: int = 256) -> jnp.ndarray:
+        """Run the frozen text tower over all rows once; returns [N, hidden]."""
+        n = tokens["input_ids"].shape[0]
+        apply = jax.jit(lambda tt: self.model.apply_text_tower(tt))
+        outs = []
+        for start in range(0, n, chunk):
+            piece = {k: jnp.asarray(v[start : start + chunk]) for k, v in tokens.items()}
+            outs.append(jax.device_get(apply(piece)))
+        bank = jnp.asarray(np.concatenate(outs, axis=0)) if outs else jnp.zeros((0, self.model.text_output_dimension))
+        logger.info(f"Cached frozen text features for {n} rows.")
+        return bank
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, params, opt_state, image_features, text_features, text_features2, rng):
+        def loss_fn(p):
+            out = self.model.forward(
+                p,
+                {"image_features": image_features},
+                train=True,
+                rng=rng,
+                text_features=text_features,
+                text_features2=text_features2,
+            )
+            loss, _labels = self.criterion(**out)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    def _val_step_impl(self, params, image_features, text_features, text_features2):
+        out = self.model.forward(
+            params,
+            {"image_features": image_features},
+            train=False,
+            text_features=text_features,
+            text_features2=text_features2,
+        )
+        loss, _ = self.criterion(**out)
+        return loss, out["image_embeddings"]
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        feats = jax.device_put(jnp.asarray(batch["image_features"], jnp.float32), self._batch_sharding)
+        idx = batch["indices"]
+        text = jax.device_put(self._text_bank[idx], self._batch_sharding)
+        text2 = None
+        if self._impression_bank is not None:
+            text2 = jax.device_put(self._impression_bank[idx], self._batch_sharding)
+        return feats, text, text2
+
+    def train(self) -> float:
+        losses = []
+        for batch in self.train_dataloader:
+            feats, text, text2 = self._device_batch(batch)
+            self.rng_key, step_key = jax.random.split(self.rng_key)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, feats, text, text2, step_key
+            )
+            losses.append(loss)
+        epoch_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
+        self.writer.add_scalar("loss/train", epoch_loss, self.current_epoch + 1)
+        return epoch_loss
+
+    # ------------------------------------------------------------------
+    def _probe_embeddings(self, prompts) -> jnp.ndarray:
+        tokens = self.tokenizer(
+            prompts, padding="max_length", truncation=True,
+            max_length=int(self.config.tokenizer.config.sequence_length),
+        )
+        tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
+        pooled = self.model.apply_text_tower(tokens)
+        return l2_normalize(self.model.project_text(self.params, pooled, train=False))
+
+    def validate(self):
+        metrics_list = self.config.experiments.config.metrics
+        probes: Dict[str, jnp.ndarray] = {}
+        targets: Dict[str, list] = {}
+        predictions: Dict[str, list] = {}
+
+        if "BenignMalignantDatasetLabels" in metrics_list:
+            probes["malig"] = self._probe_embeddings(["Finding suggesting malignant."])
+        if "MassShapeLabels" in metrics_list:
+            self._shapes_list = [f"Mass shape is {label.name}." for label in MassShapeLabels]
+            probes["shapes"] = self._probe_embeddings(self._shapes_list)
+        if "birads" in metrics_list:
+            self._birads_list = ["BIRADS unknown."] + [f"BIRADS score of {i}." for i in range(0, 7)]
+            probes["birads"] = self._probe_embeddings(self._birads_list)
+        for key in probes:
+            targets[key] = []
+            predictions[key] = []
+
+        losses = []
+        logit_scale = float(jnp.exp(self.params["logit_scale"]))
+        for batch in self.valid_dataloader:
+            feats, text, text2 = self._device_batch(batch)
+            loss, image_emb = self._val_step(self.params, feats, text, text2)
+            losses.append(float(loss))
+
+            prompt_labels = batch["prompt_labels"]
+            if "malig" in probes:
+                first = prompt_labels[0]["BenignMalignantDatasetLabels"]
+                if isinstance(first, (int, np.integer)):
+                    y = [int(pl["BenignMalignantDatasetLabels"]) for pl in prompt_labels]
+                else:
+                    y = [BenignMalignantDatasetLabels[pl["BenignMalignantDatasetLabels"]].value for pl in prompt_labels]
+                targets["malig"].extend(y)
+                sims = logit_scale * image_emb @ probes["malig"].T
+                predictions["malig"].extend(np.asarray(sims[:, 0]).tolist())
+            if "shapes" in probes:
+                first = prompt_labels[0]["MassShapeLabels"]
+                if isinstance(first, (int, np.integer)):
+                    y = [int(pl["MassShapeLabels"]) for pl in prompt_labels]
+                else:
+                    y = [MassShapeLabels[pl["MassShapeLabels"]].value for pl in prompt_labels]
+                targets["shapes"].extend(y)
+                sims = logit_scale * image_emb @ probes["shapes"].T
+                predictions["shapes"].extend(np.asarray(sims).tolist())
+            if "birads" in probes:
+                y = [-1 if str(pl["BIRADS"]) == "unknown" else int(pl["BIRADS"]) for pl in prompt_labels]
+                targets["birads"].extend(y)
+                sims = logit_scale * image_emb @ probes["birads"].T
+                predictions["birads"].extend(np.asarray(sims).tolist())
+
+        epoch_loss = float(np.mean(losses)) if losses else float("nan")
+        self.writer.add_scalar("loss/val", epoch_loss, self.current_epoch + 1)
+
+        auc_malig = auc_shapes = auc_birads = -1.0
+        auc_list = []
+        if "malig" in probes and len(set(targets["malig"])) > 1:
+            fpr, tpr, _ = M.roc_curve(targets["malig"], predictions["malig"])
+            auc_malig = M.auc(fpr, tpr)
+            self.writer.add_scalar("auc/val/malig", auc_malig, self.current_epoch + 1)
+            auc_list.append(auc_malig)
+        if "shapes" in probes:
+            preds = np.asarray(predictions["shapes"])
+            per_class = []
+            for idx in range(len(self._shapes_list)):
+                y_bin = np.asarray(targets["shapes"]) == idx
+                if 0 < y_bin.sum() < len(y_bin):
+                    fpr, tpr, _ = M.roc_curve(y_bin, preds[:, idx])
+                    per_class.append(M.auc(fpr, tpr))
+            if per_class:
+                auc_shapes = float(np.mean(per_class))
+                self.writer.add_scalar("auc/val/shapes", auc_shapes, self.current_epoch + 1)
+                auc_list.append(auc_shapes)
+        if "birads" in probes:
+            preds = np.asarray(predictions["birads"])
+            per_class = []
+            for idx in range(len(self._birads_list)):
+                y_bin = np.asarray(targets["birads"]) == idx - 1  # unknown maps to -1
+                if 0 < y_bin.sum() < len(y_bin):
+                    fpr, tpr, _ = M.roc_curve(y_bin, preds[:, idx])
+                    per_class.append(M.auc(fpr, tpr))
+            if per_class:
+                auc_birads = float(np.mean(per_class))
+                self.writer.add_scalar("auc/val/birads", auc_birads, self.current_epoch + 1)
+                auc_list.append(auc_birads)
+        mean_auc = float(np.mean(auc_list)) if len(auc_list) > 1 else -1.0
+        if len(auc_list) > 1:
+            self.writer.add_scalar("auc/val/average", mean_auc, self.current_epoch + 1)
+        return epoch_loss, auc_malig, auc_shapes, auc_birads, mean_auc
+
+    # ------------------------------------------------------------------
+    def test(self):
+        from ..evaluation.evaluator import Evaluator
+
+        logger.info("Running testing evaluator script.")
+        Evaluator(
+            config=self.config,
+            test_dataloader=self.test_dataloader,
+            tokenizer=self.tokenizer,
+            model=self.model,
+            params=self.params,
+        ).evaluate_experiment()
+
+    def resume(self) -> bool:
+        """Restore a full train state if a checkpoint exists (new capability;
+        the reference saved optimizer state but never reloaded it)."""
+        if not os.path.isfile(self.ckp_path):
+            return False
+        state = load_checkpoint(self.ckp_path, self.params, self.opt_state)
+        self.params = jax.device_put(state["params"], self._replicated)
+        if "opt_state" in state:
+            self.opt_state = jax.device_put(state["opt_state"], self._replicated)
+        self.current_epoch = state["epoch"] + 1
+        self.early_stopper.best_score = state["best_score"]
+        self.early_stopper.counter = state["counter"]
+        self.early_stopper.val_loss_min = state["val_loss"]
+        if "rng_key" in state:
+            self.rng_key = state["rng_key"]
+        return True
+
+    def run(self):
+        self._time_start = time.time()
+        logger.info("Classifier training experiment started.")
+        total_epochs = int(self.config.scheduler.config.epochs)
+
+        start_epoch = self.current_epoch
+        for self.current_epoch in range(start_epoch, total_epochs):
+            start = time.time()
+            if hasattr(self.scheduler, "lr_at"):
+                lr = self.scheduler.lr_at(self.current_epoch)
+                self.opt_state = set_learning_rate(self.opt_state, lr)
+
+            train_loss = self.train()
+            val_loss, auc_malig, auc_shapes, auc_birads, mean_auc = self.validate()
+
+            if hasattr(self.scheduler, "step"):  # plateau controller
+                lr = self.scheduler.step(val_loss)
+                self.opt_state = set_learning_rate(self.opt_state, lr)
+            self.writer.add_scalar("lr", lr, self.current_epoch + 1)
+
+            elapsed = time.time() - start
+            self.writer.add_scalar("epoch_time_s", elapsed, self.current_epoch + 1)
+
+            self.early_stopper(
+                validation_loss=val_loss,
+                epoch=self.current_epoch,
+                params=self.params,
+                opt_state=self.opt_state,
+                path=self.ckp_path,
+                rng_key=self.rng_key,
+            )
+            logger.info(
+                f"Epoch: {self.current_epoch + 1}/{total_epochs} | {elapsed:.1f}s | lr: {lr:.6f} | "
+                f"train/loss: {train_loss:.4f} | val/loss: {val_loss:.4f} | "
+                f"val/auc/malig: {auc_malig:.4f} | val/auc/shapes: {auc_shapes:.4f} | "
+                f"val/auc/birads: {auc_birads:.4f} | val/auc/mean: {mean_auc:.4f}"
+            )
+            if self.early_stopper.early_stop:
+                logger.warning(
+                    f"Early stopping triggered at epoch {self.current_epoch + 1}. Ending model training."
+                )
+                break
+
+        if len(self.config.dataset.eval.enum_classes) > 0 and self.test_dataloader is not None:
+            self.test()
+
+        self._time_end = time.time()
+        logger.info(
+            "Experiment complete. Total time (H:M:S): "
+            + time.strftime("%H:%M:%S", time.gmtime(self._time_end - self._time_start))
+        )
+        self.writer.close()
+
+
+def create_experiment(experiment_name: str):
+    """Name -> experiment class (reference: experiments_controller.py:3-23)."""
+    return EXPERIMENTS.get(experiment_name)

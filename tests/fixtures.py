@@ -55,7 +55,8 @@ def build_image_label_tree(
     feature_store: bool = True,
 ) -> Tuple[str, str, str, str]:
     """Returns (base_dataset_path, annotated_path, lists_path, features_dir)."""
-    base = os.path.join(root, "images")
+    # replicate the real store prefix: <...>/2D_100micron/0/<pid[:2]>/<pid>/st<study>
+    base = os.path.join(root, "png_archive", "2D_100micron", "0")
     annotated = os.path.join(root, "02_data_T_regions")
     lists_dir = os.path.join(root, "lists")
     features_dir = os.path.join(root, "features")

@@ -1,0 +1,80 @@
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mmgclip_tpu.ingest.png_reader import decode_png, _load_native
+from fixtures import write_png
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_decode_png_8bit_matches_pil(tmp_path):
+    from PIL import Image
+
+    path = str(tmp_path / "g.png")
+    write_png(path, size=40, seed=1)
+    arr = decode_png(path)
+    ref = np.asarray(Image.open(path))
+    assert arr.dtype == np.uint8
+    np.testing.assert_array_equal(arr, ref)
+
+
+def test_decode_png_16bit(tmp_path):
+    from PIL import Image
+
+    path = str(tmp_path / "g16.png")
+    data = np.random.default_rng(0).integers(0, 65535, (24, 24)).astype(np.uint16)
+    Image.fromarray(data).save(path)
+    arr = decode_png(path)
+    assert arr.dtype == np.uint16
+    np.testing.assert_array_equal(arr.astype(np.uint16), data)
+
+
+def test_native_shim_builds_and_decodes(tmp_path):
+    """Build the C++ shim if absent, verify byte-identical decode vs PIL."""
+    so_path = os.path.join(REPO, "native", "libmmg_png.so")
+    if not os.path.isfile(so_path):
+        result = subprocess.run(["make", "-C", os.path.join(REPO, "native")], capture_output=True)
+        if result.returncode != 0:
+            pytest.skip(f"native build unavailable: {result.stderr.decode()[:200]}")
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native lib not loadable")
+
+    from PIL import Image
+
+    path = str(tmp_path / "n.png")
+    write_png(path, size=33, seed=2)  # odd size exercises row handling
+    arr = decode_png(path)
+    ref = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(arr, ref)
+
+
+def test_decode_missing_file_raises(tmp_path):
+    with pytest.raises(Exception):
+        decode_png(str(tmp_path / "nope.png"))
+
+
+def test_graft_entry_contract():
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    import jax
+
+    loss, logits = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+    assert logits.shape[0] == logits.shape[1]
+
+
+def test_dryrun_multichip_8():
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

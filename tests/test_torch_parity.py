@@ -1,0 +1,140 @@
+"""Numerics parity of the JAX towers against torch oracles.
+
+The parity gate (BASELINE.md) requires tower numerics to match the reference
+within tolerance once weights are converted.  These tests construct torch
+models locally (no hub access needed), convert their random weights through
+the same converters used for the real artifacts, and compare forward passes.
+
+BERT: vs transformers.BertModel (the reference's exact text tower class,
+reference: mmgclip/networks/encoder.py:138).
+ConvNeXt: vs transformers.ConvNextModel (same topology as the torchvision
+ConvNeXt-Tiny the reference's TorchScript artifact derives from).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from mmgclip_tpu.models.bert import BertConfig, eos_pool, init_bert, load_hf_weights
+from mmgclip_tpu.models.convnext import ConvNeXtConfig, init_convnext, load_torchvision_weights
+
+
+def test_bert_matches_transformers_bert():
+    hf_config = transformers.BertConfig(
+        vocab_size=200,
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=96,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.BertModel(hf_config, add_pooling_layer=False).eval()
+
+    config = BertConfig(
+        vocab_size=200, hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=128, max_position_embeddings=96,
+    )
+    module, params = init_bert(config)
+    params = load_hf_weights(params, hf_model.state_dict(), config)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 200, size=(3, 24))
+    mask = np.ones((3, 24), np.int64)
+    mask[0, 18:] = 0
+    mask[2, 10:] = 0
+
+    with torch.no_grad():
+        theirs = hf_model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+
+    ours = np.asarray(
+        module.apply(
+            params,
+            jnp.asarray(ids, jnp.int32),
+            attention_mask=jnp.asarray(mask, jnp.int32),
+            deterministic=True,
+        )
+    )
+
+    # compare only non-pad positions (HF computes garbage at padded queries,
+    # which EOS pooling never reads)
+    for b in range(3):
+        valid = int(mask[b].sum())
+        np.testing.assert_allclose(ours[b, :valid], theirs[b, :valid], atol=2e-4)
+
+    # EOS pooling picks the same vectors
+    pooled = np.asarray(eos_pool(jnp.asarray(ours), jnp.asarray(mask)))
+    for b in range(3):
+        valid = int(mask[b].sum())
+        np.testing.assert_allclose(pooled[b], theirs[b, valid - 1], atol=2e-4)
+
+
+def _hf_convnext_to_torchvision_names(state_dict, depths):
+    """transformers.ConvNextModel names -> torchvision convnext names."""
+    out = {}
+    out["features.0.0.weight"] = state_dict["embeddings.patch_embeddings.weight"]
+    out["features.0.0.bias"] = state_dict["embeddings.patch_embeddings.bias"]
+    out["features.0.1.weight"] = state_dict["embeddings.layernorm.weight"]
+    out["features.0.1.bias"] = state_dict["embeddings.layernorm.bias"]
+    stage_idx = [1, 3, 5, 7]
+    down_idx = [None, 2, 4, 6]
+    for stage, depth in enumerate(depths):
+        if stage > 0:
+            di = down_idx[stage]
+            pre = f"encoder.stages.{stage}.downsampling_layer"
+            out[f"features.{di}.0.weight"] = state_dict[f"{pre}.0.weight"]
+            out[f"features.{di}.0.bias"] = state_dict[f"{pre}.0.bias"]
+            out[f"features.{di}.1.weight"] = state_dict[f"{pre}.1.weight"]
+            out[f"features.{di}.1.bias"] = state_dict[f"{pre}.1.bias"]
+        si = stage_idx[stage]
+        for b in range(depth):
+            pre = f"encoder.stages.{stage}.layers.{b}"
+            tgt = f"features.{si}.{b}"
+            out[f"{tgt}.block.0.weight"] = state_dict[f"{pre}.dwconv.weight"]
+            out[f"{tgt}.block.0.bias"] = state_dict[f"{pre}.dwconv.bias"]
+            out[f"{tgt}.block.2.weight"] = state_dict[f"{pre}.layernorm.weight"]
+            out[f"{tgt}.block.2.bias"] = state_dict[f"{pre}.layernorm.bias"]
+            out[f"{tgt}.block.3.weight"] = state_dict[f"{pre}.pwconv1.weight"]
+            out[f"{tgt}.block.3.bias"] = state_dict[f"{pre}.pwconv1.bias"]
+            out[f"{tgt}.block.5.weight"] = state_dict[f"{pre}.pwconv2.weight"]
+            out[f"{tgt}.block.5.bias"] = state_dict[f"{pre}.pwconv2.bias"]
+            out[f"{tgt}.layer_scale"] = state_dict[f"{pre}.layer_scale_parameter"]
+    return out
+
+
+def test_convnext_matches_transformers_convnext():
+    depths = (2, 2, 3, 2)
+    dims = (16, 32, 64, 128)
+    hf_config = transformers.ConvNextConfig(
+        num_channels=3, hidden_sizes=list(dims), depths=list(depths), drop_path_rate=0.0
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.ConvNextModel(hf_config).eval()
+
+    config = ConvNeXtConfig(depths=depths, dims=dims, num_classes=2)
+    module, params = init_convnext(config, image_size=32)
+    mapped = _hf_convnext_to_torchvision_names(hf_model.state_dict(), depths)
+    params = load_torchvision_weights(params, mapped, config)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+
+    ours = np.asarray(module.apply(params, jnp.asarray(x), pool=False))
+    np.testing.assert_allclose(ours, theirs.transpose(0, 2, 3, 1), atol=3e-4)
+
+    # pooled features match mean over spatial dims
+    pooled = np.asarray(module.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(pooled, theirs.mean(axis=(2, 3)), atol=3e-4)

@@ -1,0 +1,140 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mmgclip_tpu.config import Config, compose
+from mmgclip_tpu.data import DataLoaders, get_dataset
+from mmgclip_tpu.training import (
+    LinearWarmupCosineAnnealing,
+    ReduceLROnPlateau,
+    create_experiment,
+    load_checkpoint,
+    save_checkpoint,
+)
+from fixtures import build_image_label_tree
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+TINY_TEXT = {
+    "config": {
+        "vocab_size": 4096,
+        "hidden_size": 64,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "intermediate_size": 128,
+        "max_position_embeddings": 64,
+    }
+}
+
+
+def _experiment(tmp_path, epochs=2, batch_size=4):
+    base, annotated, lists_dir, features_dir = build_image_label_tree(str(tmp_path), n_benign=8, n_malignant=8)
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf", run_dir=str(tmp_path / "run"))
+    cfg.dataset.config.base_dataset_path = base
+    cfg.dataset.config.annotated_dataset_path = annotated
+    cfg.dataset.config.lists_dataset_path = lists_dir
+    cfg.base.features_export_dir = features_dir
+    cfg.base.export_dir = str(tmp_path / "out")
+    cfg.base.tensorboard_export_dir = str(tmp_path / "runs")
+    cfg.checkpoints.checkpoints_export_dir = str(tmp_path / "ckpt")
+    cfg.tokenizer.config.sequence_length = 32
+    cfg.networks.text_encoder = Config({"name": "BertEncoder", **TINY_TEXT})
+    cfg.scheduler.config.epochs = epochs
+    cfg.dataloader.train.batch_size = batch_size
+    cfg.dataloader.valid.batch_size = batch_size
+    cfg.dataset.eval.enum_classes = []  # skip Evaluator in run()
+
+    ds = get_dataset(cfg.dataset.name)(config=cfg, data_folder="0/02")
+    train_split, val_split = ds.random_split(ds, "train")
+    loaders = {
+        "train": DataLoaders(cfg, train_split).get_dataloader(
+            batch_size=batch_size, shuffle=True, drop_last=True, collate_fn=ds.collate_fn
+        ),
+        "valid": DataLoaders(cfg, val_split).get_dataloader(
+            batch_size=batch_size, shuffle=False, drop_last=True, collate_fn=ds.collate_fn
+        ),
+    }
+    exp_cls = create_experiment("classification")
+    exp = exp_cls(
+        config=cfg,
+        train_dataloader=loaders["train"],
+        valid_dataloader=loaders["valid"],
+        test_dataloader=None,
+        tokenizer=ds.tokenizer,
+    )
+    return exp, cfg
+
+
+def test_warmup_cosine_schedule_matches_reference_math():
+    import math
+
+    sched = LinearWarmupCosineAnnealing(1.0, total_steps=30, warmup_steps=0.1)
+    assert sched.wsteps == 3  # ceil(30 * 0.1)
+    assert sched.multiplier(0) == 0.0
+    assert sched.multiplier(1) == pytest.approx(1 / 3)
+    assert sched.multiplier(3) == pytest.approx(1.0)
+    # cos^2 decay after warmup
+    assert sched.multiplier(16) == pytest.approx(math.cos((13 / 27) * math.pi / 2) ** 2)
+    assert sched.multiplier(30) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_reduce_lr_on_plateau():
+    sched = ReduceLROnPlateau(1.0, patience=2, factor=0.1)
+    assert sched.step(1.0) == 1.0
+    assert sched.step(1.1) == 1.0
+    assert sched.step(1.2) == 1.0
+    assert sched.step(1.3) == pytest.approx(0.1)  # patience exceeded
+
+
+def test_training_loop_decreases_loss_and_checkpoints(tmp_path):
+    exp, cfg = _experiment(tmp_path, epochs=3)
+    exp.run()
+    assert os.path.isfile(exp.ckp_path)
+    # scalars were logged
+    scalars = open(os.path.join(cfg.base.tensorboard_export_dir, "scalars.jsonl")).read()
+    assert "loss/train" in scalars and "auc/val/malig" in scalars
+
+    # loss is finite and training moved the parameters
+    import json
+
+    lines = [json.loads(l) for l in scalars.strip().splitlines()]
+    train_losses = [l["value"] for l in lines if l["tag"] == "loss/train"]
+    assert len(train_losses) == 3
+    assert all(np.isfinite(v) for v in train_losses)
+    assert train_losses[-1] < train_losses[0]  # contrastive loss decreases
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    # epoch 0 trains at lr=0 (linear warmup starts at zero, as in the
+    # reference schedule), so run 2 epochs to actually move parameters
+    exp, cfg = _experiment(tmp_path, epochs=2)
+    exp.run()
+
+    # fresh experiment resumes from the checkpoint
+    exp2, _ = _experiment(tmp_path, epochs=2)
+    assert exp2.resume()
+    assert exp2.current_epoch >= 1
+    assert np.isfinite(exp2.early_stopper.val_loss_min)
+    # optimizer state (incl. step count) restored — true resume, which the
+    # reference never implemented
+    counts = [np.asarray(l) for l in jax.tree_util.tree_leaves(exp2.opt_state) if np.asarray(l).ndim == 0]
+    assert any(c > 0 for c in counts)
+
+
+def test_checkpoint_save_load_primitives(tmp_path):
+    params = {"w": np.ones((3, 3), np.float32), "b": np.zeros(3, np.float32)}
+    path = save_checkpoint(str(tmp_path / "ck.msgpack"), params, epoch=5, val_loss=0.5)
+    state = load_checkpoint(path, params)
+    assert state["epoch"] == 5
+    np.testing.assert_array_equal(state["params"]["w"], params["w"])
+
+
+def test_train_step_is_multi_device_sharded(tmp_path):
+    exp, cfg = _experiment(tmp_path, epochs=1, batch_size=8)
+    # with 8 CPU devices and batch 8, the mesh should span all devices
+    assert exp.mesh.devices.size == 8
+    batch = next(iter(exp.train_dataloader))
+    feats, text, text2 = exp._device_batch(batch)
+    assert feats.sharding.num_devices == 8
