@@ -26,6 +26,12 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: first compile over the remote TPU link is
+    # minutes; cached reruns are seconds
+    cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext

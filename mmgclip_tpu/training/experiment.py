@@ -170,16 +170,27 @@ class ClassifierExperiment:
         return feats, text, text2
 
     def train(self) -> float:
+        from ..utils.profiling import maybe_trace
+
         losses = []
-        for batch in self.train_dataloader:
-            feats, text, text2 = self._device_batch(batch)
-            self.rng_key, step_key = jax.random.split(self.rng_key)
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, feats, text, text2, step_key
-            )
-            losses.append(loss)
+        n_samples = 0
+        profile = bool(self.config.get_path("base.profile", False)) and self.current_epoch == 1
+        start = time.perf_counter()
+        with maybe_trace(profile, self.config.base.tensorboard_export_dir):
+            for batch in self.train_dataloader:
+                feats, text, text2 = self._device_batch(batch)
+                self.rng_key, step_key = jax.random.split(self.rng_key)
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, feats, text, text2, step_key
+                )
+                losses.append(loss)
+                n_samples += feats.shape[0]
+        jax.block_until_ready(losses[-1]) if losses else None
+        elapsed = time.perf_counter() - start
         epoch_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
         self.writer.add_scalar("loss/train", epoch_loss, self.current_epoch + 1)
+        if elapsed > 0:
+            self.writer.add_scalar("throughput/train_samples_per_s", n_samples / elapsed, self.current_epoch + 1)
         return epoch_loss
 
     # ------------------------------------------------------------------
