@@ -42,7 +42,9 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", 20))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 
-    config = ConvNeXtConfig(in_channels=1, dtype=dtype)
+    unroll = os.environ.get("BENCH_UNROLL", "true")
+    unroll = True if unroll == "true" else int(unroll)
+    config = ConvNeXtConfig(in_channels=1, dtype=dtype, unroll_blocks=unroll)
     module, params = init_convnext(config, seed=0, image_size=size)
     params = jax.tree_util.tree_map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 

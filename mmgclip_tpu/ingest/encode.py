@@ -65,7 +65,11 @@ def load_convnext_tower(config, seed: int = 0):
 
 
 class _Encoder:
-    """Shared batched-encode machinery for image- and study-level extractors."""
+    """Shared batched-encode machinery for image- and study-level extractors.
+
+    Multi-chip: when more than one device is visible, batches shard over a
+    ``data`` mesh axis (per-host file sharding composes on top — each host
+    simply runs its own extractor over its slice of the file list)."""
 
     def __init__(self, config, batch_size: int = 32, decode_threads: int = 8):
         self.config = config
@@ -73,6 +77,18 @@ class _Encoder:
         self.decode_threads = int(decode_threads)
         self.module, self.params, self.cn_config = load_convnext_tower(config)
         self._jitted: Dict = {}
+
+        n_devices = len(jax.devices())
+        self._mesh = None
+        if n_devices > 1:
+            from ..parallel.mesh import batch_sharding, create_mesh
+
+            self._mesh = create_mesh(data=n_devices, model=1)
+            self._sharding = batch_sharding(self._mesh)
+            # round batches up so they split evenly over the data axis
+            self.batch_size = max(self.batch_size, n_devices)
+            self.batch_size -= self.batch_size % n_devices
+            logger.info(f"Encode pipeline sharded over {n_devices} devices.")
 
     def _encode_fn(self):
         module, params, in_ch = self.module, self.params, self.cn_config.in_channels
@@ -85,6 +101,18 @@ class _Encoder:
             return module.apply(params, x)  # pooled [n, 768]
 
         return encode
+
+    def _to_device(self, pixels: np.ndarray):
+        """Host batch -> (device array, valid count), padded to shard evenly."""
+        n = pixels.shape[0]
+        if self._mesh is None:
+            return jnp.asarray(pixels), n
+        shards = self._mesh.devices.size
+        padded_n = -(-n // shards) * shards
+        if padded_n != n:
+            pad = np.zeros((padded_n - n, *pixels.shape[1:]), pixels.dtype)
+            pixels = np.concatenate([pixels, pad], axis=0)
+        return jax.device_put(jnp.asarray(pixels), self._sharding), n
 
     def encode_batches(self, items: List[Tuple[str, str]], on_result, failed_path: str):
         """items: (source_path, export_key).  Decoded on a thread pool,
@@ -100,7 +128,8 @@ class _Encoder:
             for start in range(0, len(bucket), self.batch_size):
                 chunk = bucket[start : start + self.batch_size]
                 pixels = np.stack([arr for _k, arr in chunk])
-                feats = np.asarray(encode(jnp.asarray(pixels)))
+                device_pixels, valid = self._to_device(pixels)
+                feats = np.asarray(encode(device_pixels))[:valid]
                 for (key, _), vec in zip(chunk, feats):
                     on_result(key, vec)
 

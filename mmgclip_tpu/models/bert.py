@@ -1,16 +1,25 @@
-"""BERT-style text tower in flax.linen with Pallas attention.
+"""BERT-style text tower in flax.linen with Pallas attention, TPU-first.
 
 Functional replacement for the reference's frozen HF ``AutoModel`` text
 encoder (reference: mmgclip/networks/encoder.py:121-156).  The tower returns
 ``last_hidden_state``; EOS pooling happens in the CLIP head.  Weights can be
 converted from a HuggingFace torch checkpoint when one is available
 (``load_hf_weights``); with zero egress the tower is seeded deterministically.
+
+TPU-first structure: all transformer layers share one set of *stacked*
+parameters ([layers, ...]) and run under ``jax.lax.scan`` — one layer body in
+the compiled program instead of 12 unrolled copies.  Attention is the Pallas
+flash kernel on TPU (ops/flash_attention.py) with an XLA fallback.  The tower
+is frozen in every reference training configuration, so it always runs
+deterministically (no dropout) — the reference leaves HF dropout active on
+the frozen tower during training, which only adds noise to features that
+carry no gradient.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from dataclasses import dataclass
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +38,6 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
-    hidden_dropout: float = 0.1
     use_flash_attention: bool = True
     dtype: Any = jnp.float32
 
@@ -46,53 +54,14 @@ class BertConfig:
         )
 
 
-class BertSelfAttention(nn.Module):
-    config: BertConfig
-
-    @nn.compact
-    def __call__(self, hidden, attention_mask):
-        cfg = self.config
-        heads = cfg.num_attention_heads
-        head_dim = cfg.hidden_size // heads
-        b, s, _ = hidden.shape
-
-        qkv = nn.DenseGeneral(features=(3, heads, head_dim), name="qkv", dtype=cfg.dtype)(hidden)
-        q, k, v = jnp.moveaxis(qkv, -3, 0)  # each [b, s, h, d]
-        q = jnp.transpose(q, (0, 2, 1, 3))
-        k = jnp.transpose(k, (0, 2, 1, 3))
-        v = jnp.transpose(v, (0, 2, 1, 3))
-
-        on_tpu = jax.default_backend() == "tpu"
-        if cfg.use_flash_attention and on_tpu:
-            ctx = flash_attention(q, k, v, attention_mask)
-        else:
-            ctx = attention_reference(q, k, v, attention_mask)
-
-        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, cfg.hidden_size)
-        out = nn.Dense(cfg.hidden_size, name="out", dtype=cfg.dtype)(ctx)
-        return out
-
-
-class BertLayer(nn.Module):
-    config: BertConfig
-
-    @nn.compact
-    def __call__(self, hidden, attention_mask, deterministic: bool = True):
-        cfg = self.config
-        attn = BertSelfAttention(cfg, name="attention")(hidden, attention_mask)
-        attn = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(attn)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_norm")(hidden + attn)
-
-        mlp = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=cfg.dtype)(hidden)
-        mlp = nn.gelu(mlp, approximate=False)
-        mlp = nn.Dense(cfg.hidden_size, name="output", dtype=cfg.dtype)(mlp)
-        mlp = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(mlp)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_norm")(hidden + mlp)
-        return hidden
+def _layer_norm(x, scale, bias, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 class BertEncoder(nn.Module):
-    """Embeddings + transformer stack; returns last_hidden_state [b, s, h]."""
+    """Embeddings + scanned transformer stack; returns last_hidden_state."""
 
     config: BertConfig
 
@@ -100,6 +69,8 @@ class BertEncoder(nn.Module):
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None, deterministic: bool = True):
         cfg = self.config
         b, s = input_ids.shape
+        heads = cfg.num_attention_heads
+        head_dim = cfg.hidden_size // heads
         if attention_mask is None:
             attention_mask = jnp.ones((b, s), jnp.int32)
         if token_type_ids is None:
@@ -111,10 +82,49 @@ class BertEncoder(nn.Module):
         typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings")(token_type_ids)
         hidden = word + pos + typ
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(hidden)
-        hidden = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(hidden)
 
-        for i in range(cfg.num_hidden_layers):
-            hidden = BertLayer(cfg, name=f"layer_{i}")(hidden, attention_mask, deterministic)
+        L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        stacked = {
+            "qkv_kernel": self.param("qkv_kernel", lecun, (L, H, 3 * H)),
+            "qkv_bias": self.param("qkv_bias", zeros, (L, 3 * H)),
+            "out_kernel": self.param("out_kernel", lecun, (L, H, H)),
+            "out_bias": self.param("out_bias", zeros, (L, H)),
+            "attn_norm_scale": self.param("attn_norm_scale", ones, (L, H)),
+            "attn_norm_bias": self.param("attn_norm_bias", zeros, (L, H)),
+            "mlp_in_kernel": self.param("mlp_in_kernel", lecun, (L, H, I)),
+            "mlp_in_bias": self.param("mlp_in_bias", zeros, (L, I)),
+            "mlp_out_kernel": self.param("mlp_out_kernel", lecun, (L, I, H)),
+            "mlp_out_bias": self.param("mlp_out_bias", zeros, (L, H)),
+            "out_norm_scale": self.param("out_norm_scale", ones, (L, H)),
+            "out_norm_bias": self.param("out_norm_bias", zeros, (L, H)),
+        }
+
+        use_flash = cfg.use_flash_attention and jax.default_backend() == "tpu"
+        dtype = cfg.dtype
+        eps = cfg.layer_norm_eps
+
+        def layer(hidden, p):
+            qkv = hidden @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(dtype)  # [b, s, 3H]
+            qkv = qkv.reshape(b, s, 3, heads, head_dim)
+            q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+            if use_flash:
+                ctx = flash_attention(q, k, v, attention_mask)
+            else:
+                ctx = attention_reference(q, k, v, attention_mask)
+            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, H)
+            attn = ctx @ p["out_kernel"].astype(dtype) + p["out_bias"].astype(dtype)
+            hidden = _layer_norm(hidden + attn, p["attn_norm_scale"], p["attn_norm_bias"], eps)
+
+            mlp = hidden @ p["mlp_in_kernel"].astype(dtype) + p["mlp_in_bias"].astype(dtype)
+            mlp = nn.gelu(mlp, approximate=False)
+            mlp = mlp @ p["mlp_out_kernel"].astype(dtype) + p["mlp_out_bias"].astype(dtype)
+            hidden = _layer_norm(hidden + mlp, p["out_norm_scale"], p["out_norm_bias"], eps)
+            return hidden, None
+
+        hidden, _ = jax.lax.scan(layer, hidden, stacked)
         return hidden
 
 
@@ -141,7 +151,8 @@ def eos_pool(last_hidden_state, attention_mask):
 def load_hf_weights(params: Dict, torch_state_dict: Dict[str, Any], config: BertConfig) -> Dict:
     """Map a HuggingFace ``BertModel`` torch state dict onto our param tree.
 
-    Usable offline from a local checkpoint file; returns a new params pytree.
+    Per-layer tensors stack along a leading [layers] axis for the scanned
+    encoder.  Usable offline from a local checkpoint file.
     """
     import numpy as np
 
@@ -159,27 +170,33 @@ def load_hf_weights(params: Dict, torch_state_dict: Dict[str, Any], config: Bert
     enc["embeddings_norm"]["scale"] = t("embeddings.LayerNorm.weight")
     enc["embeddings_norm"]["bias"] = t("embeddings.LayerNorm.bias")
 
-    heads = config.num_attention_heads
-    head_dim = config.hidden_size // heads
+    stacks: Dict[str, list] = {key: [] for key in (
+        "qkv_kernel", "qkv_bias", "out_kernel", "out_bias",
+        "attn_norm_scale", "attn_norm_bias",
+        "mlp_in_kernel", "mlp_in_bias", "mlp_out_kernel", "mlp_out_bias",
+        "out_norm_scale", "out_norm_bias",
+    )}
     for i in range(config.num_hidden_layers):
-        layer = enc[f"layer_{i}"]
         pre = f"encoder.layer.{i}"
-        qw = t(f"{pre}.attention.self.query.weight").T.reshape(config.hidden_size, heads, head_dim)
-        kw = t(f"{pre}.attention.self.key.weight").T.reshape(config.hidden_size, heads, head_dim)
-        vw = t(f"{pre}.attention.self.value.weight").T.reshape(config.hidden_size, heads, head_dim)
-        layer["attention"]["qkv"]["kernel"] = jnp.stack([qw, kw, vw], axis=1)
-        qb = t(f"{pre}.attention.self.query.bias").reshape(heads, head_dim)
-        kb = t(f"{pre}.attention.self.key.bias").reshape(heads, head_dim)
-        vb = t(f"{pre}.attention.self.value.bias").reshape(heads, head_dim)
-        layer["attention"]["qkv"]["bias"] = jnp.stack([qb, kb, vb], axis=0)
-        layer["attention"]["out"]["kernel"] = t(f"{pre}.attention.output.dense.weight").T
-        layer["attention"]["out"]["bias"] = t(f"{pre}.attention.output.dense.bias")
-        layer["attention_norm"]["scale"] = t(f"{pre}.attention.output.LayerNorm.weight")
-        layer["attention_norm"]["bias"] = t(f"{pre}.attention.output.LayerNorm.bias")
-        layer["intermediate"]["kernel"] = t(f"{pre}.intermediate.dense.weight").T
-        layer["intermediate"]["bias"] = t(f"{pre}.intermediate.dense.bias")
-        layer["output"]["kernel"] = t(f"{pre}.output.dense.weight").T
-        layer["output"]["bias"] = t(f"{pre}.output.dense.bias")
-        layer["output_norm"]["scale"] = t(f"{pre}.output.LayerNorm.weight")
-        layer["output_norm"]["bias"] = t(f"{pre}.output.LayerNorm.bias")
+        qw = t(f"{pre}.attention.self.query.weight").T
+        kw = t(f"{pre}.attention.self.key.weight").T
+        vw = t(f"{pre}.attention.self.value.weight").T
+        stacks["qkv_kernel"].append(jnp.concatenate([qw, kw, vw], axis=1))  # [H, 3H]
+        stacks["qkv_bias"].append(
+            jnp.concatenate(
+                [t(f"{pre}.attention.self.{n}.bias") for n in ("query", "key", "value")]
+            )
+        )
+        stacks["out_kernel"].append(t(f"{pre}.attention.output.dense.weight").T)
+        stacks["out_bias"].append(t(f"{pre}.attention.output.dense.bias"))
+        stacks["attn_norm_scale"].append(t(f"{pre}.attention.output.LayerNorm.weight"))
+        stacks["attn_norm_bias"].append(t(f"{pre}.attention.output.LayerNorm.bias"))
+        stacks["mlp_in_kernel"].append(t(f"{pre}.intermediate.dense.weight").T)
+        stacks["mlp_in_bias"].append(t(f"{pre}.intermediate.dense.bias"))
+        stacks["mlp_out_kernel"].append(t(f"{pre}.output.dense.weight").T)
+        stacks["mlp_out_bias"].append(t(f"{pre}.output.dense.bias"))
+        stacks["out_norm_scale"].append(t(f"{pre}.output.LayerNorm.weight"))
+        stacks["out_norm_bias"].append(t(f"{pre}.output.LayerNorm.bias"))
+    for key, vals in stacks.items():
+        enc[key] = jnp.stack(vals)
     return p

@@ -1,4 +1,5 @@
 from .contrastive import global_clip_loss, global_mmgclip_loss
+from .tensor_parallel import shard_text_tower, text_tower_specs
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -11,6 +12,8 @@ from .mesh import (
 
 __all__ = [
     "global_clip_loss",
+    "shard_text_tower",
+    "text_tower_specs",
     "global_mmgclip_loss",
     "DATA_AXIS",
     "MODEL_AXIS",
