@@ -29,46 +29,6 @@ from mmgclip_tpu.ingest.png_reader import decode_png
 from mmgclip_tpu.ops import fuse_views, intensity_transform
 from mmgclip_tpu.training.checkpoint import load_checkpoint
 
-MASS_TYPE_PROMPTS = [
-    "Mammogram revealed a mass.",
-    "Mammogram revealed calcifications.",
-    "No findings are present.",
-]
-MASS_MALIGNANCY_PROMPTS = [
-    "Mass suggestive of benign pathology.",
-    "Mass suggestive of malignant pathology.",
-]
-MASS_SHAPE_PROMPTS = ["Mass shape is oval.", "Mass shape is round.", "Mass shape is irregular."]
-MASS_MARGIN_PROMPTS = [
-    "Mass margin is circumscribed.",
-    "Mass margin is obscured.",
-    "Mass margin is spiculated.",
-    "Mass margin is ill defined.",
-]
-CALC_MALIGNANCY_PROMPTS = [
-    "Calcifications suggestive of benign pathology.",
-    "Calcifications suggestive of malignant pathology.",
-]
-CALC_DISTRIBUTION_PROMPTS = [
-    "Mammogram revealed calcifications with diffuse distribution.",
-    "Mammogram revealed calcifications with regional distribution.",
-    "Mammogram revealed calcifications with grouped distribution.",
-    "Mammogram revealed calcifications with linear distribution.",
-    "Mammogram revealed calcifications with segmental distribution.",
-]
-BIRADS_BENIGN_PROMPTS = ["BIRADS score of 0.", "BIRADS score of 2.", "BIRADS score of 3."]
-BIRADS_MALIGNANT_PROMPTS = [
-    "BIRADS score of 0.",
-    "BIRADS score of 4.",
-    "BIRADS score of 5.",
-    "BIRADS score of 6.",
-]
-ARCH_DISTORTION_PROMPTS = [
-    "Mammogram displayed architectural distortion.",
-    "Mammography showed no evidence of architectural distortion.",
-]
-
-
 def encode_inputs(cfg, image_id=None, exam_id=None):
     """Single image / fused exam -> [1, 768] features on device
     (reference: generate_report.py:77-163)."""
@@ -100,21 +60,22 @@ def encode_inputs(cfg, image_id=None, exam_id=None):
     return fused
 
 
-def generate_report(clf, image_embeddings, rng=None):
-    """The decision cascade (reference: generate_report.py:181-372).
-    Returns (report_text, report_dict)."""
+def generate_report(decisions, rng=None):
+    """Assemble the report from cascade decision indices
+    (reference: generate_report.py:181-372).  Returns (text, report_dict).
+
+    ``decisions`` comes from mmgclip_tpu.evaluation.report_cascade.decide —
+    the whole decision tree is evaluated in ONE jitted device call; this
+    function only does host-side template assembly on integer indices."""
     report = {
         "mass_type": None, "mass_malignancy": None, "mass_shape": None, "mass_margin": None,
         "calc_malignancy": None, "calc_distribution": None, "arch_distortion": None, "birads": None,
         "no_findings_report": None, "mass_report": None, "calc_report": None, "arch_dist_report": None,
     }
+    from mmgclip_tpu.evaluation.report_cascade import BANKS
 
-    def ask(prompts):
-        out = clf(image_features=image_embeddings, class_list=prompts, visualize=False)
-        return int(out["similarities_argmax"]), out["class_list"]
-
-    top_idx, top_list = ask(MASS_TYPE_PROMPTS)
-    report["mass_type"] = top_list[top_idx]
+    top_idx = decisions["mass_type"]
+    report["mass_type"] = BANKS["mass_type"][top_idx]
 
     if top_idx == 2:  # no findings
         report["arch_distortion"] = "Mammography showed no evidence of architectural distortion."
@@ -124,16 +85,12 @@ def generate_report(clf, image_embeddings, rng=None):
         )
     else:
         if top_idx == 0:  # mass branch
-            malig_idx, malig_list = ask(MASS_MALIGNANCY_PROMPTS)
-            report["mass_malignancy"] = malig_list[malig_idx]
-            shape_idx, shape_list = ask(MASS_SHAPE_PROMPTS)
-            report["mass_shape"] = shape_list[shape_idx]
-            margin_idx, margin_list = ask(MASS_MARGIN_PROMPTS)
-            report["mass_margin"] = margin_list[margin_idx]
-
-            birads_bank = BIRADS_BENIGN_PROMPTS if malig_idx == 0 else BIRADS_MALIGNANT_PROMPTS
-            birads_idx, birads_list = ask(birads_bank)
-            report["birads"] = birads_list[birads_idx]
+            malig_idx = decisions["mass_malignancy"]
+            report["mass_malignancy"] = BANKS["mass_malignancy"][malig_idx]
+            report["mass_shape"] = BANKS["mass_shape"][decisions["mass_shape"]]
+            report["mass_margin"] = BANKS["mass_margin"][decisions["mass_margin"]]
+            birads_bank = "birads_benign" if malig_idx == 0 else "birads_malignant"
+            report["birads"] = BANKS[birads_bank][decisions[birads_bank]]
 
             m_malig = re.search(r"\b(benign|malignant)\b", report["mass_malignancy"], re.IGNORECASE)
             m_marg = re.search(r"\b(circumscribed|obscured|spiculated|ill defined)\b", report["mass_margin"], re.IGNORECASE)
@@ -152,14 +109,11 @@ def generate_report(clf, image_embeddings, rng=None):
             )
 
         if top_idx == 1:  # calcification branch
-            malig_idx, malig_list = ask(CALC_MALIGNANCY_PROMPTS)
-            report["calc_malignancy"] = malig_list[malig_idx]
-            dist_idx, dist_list = ask(CALC_DISTRIBUTION_PROMPTS)
-            report["calc_distribution"] = dist_list[dist_idx]
-
-            birads_bank = BIRADS_BENIGN_PROMPTS if malig_idx == 0 else BIRADS_MALIGNANT_PROMPTS
-            birads_idx, birads_list = ask(birads_bank)
-            report["birads"] = birads_list[birads_idx]
+            malig_idx = decisions["calc_malignancy"]
+            report["calc_malignancy"] = BANKS["calc_malignancy"][malig_idx]
+            report["calc_distribution"] = BANKS["calc_distribution"][decisions["calc_distribution"]]
+            birads_bank = "birads_benign" if malig_idx == 0 else "birads_malignant"
+            report["birads"] = BANKS[birads_bank][decisions[birads_bank]]
 
             c_malig = re.search(r"\b(benign|malignant)\b", report["calc_malignancy"], re.IGNORECASE)
             c_dist = re.search(r"\b(diffuse|regional|grouped|linear|segmental)\b", report["calc_distribution"], re.IGNORECASE)
@@ -175,10 +129,9 @@ def generate_report(clf, image_embeddings, rng=None):
                 B_SCORE=b_score.group() if b_score else "unknown",
             )
 
-        arch_idx, arch_list = ask(ARCH_DISTORTION_PROMPTS)
-        report["arch_distortion"] = arch_list[arch_idx]
-        # NOTE: index 0 in the prompt list is "displayed"; the reference keys
-        # the template on argmax==1 meaning "no distortion" is index 1
+        arch_idx = decisions["arch_distortion"]
+        report["arch_distortion"] = BANKS["arch_distortion"][arch_idx]
+        # index 0 is "displayed architectural distortion"
         report["arch_dist_report"] = mmgclip_tpu.generate_gtr_prompt_sentence(
             "gtr_is_architectural_distortion:True" if arch_idx == 0 else "gtr_is_architectural_distortion:False",
             n=1, rng=rng,
@@ -215,7 +168,6 @@ def main() -> None:
     model = mmgclip_tpu.MMGCLIP(cfg, seed=int(cfg.base.seed), vocab_size=tokenizer.vocab_size)
     ckp_path = os.path.join(cfg.checkpoints.checkpoints_export_dir, cfg.checkpoints.checkpoints_file_name)
     state = load_checkpoint(ckp_path, model.trainable_params)
-    clf = mmgclip_tpu.PromptClassifier(model, tokenizer, params=state["params"])
 
     try:
         image_embeddings = encode_inputs(cfg, image_id=args.image_id, exam_id=args.exam_id)
@@ -225,7 +177,10 @@ def main() -> None:
             fh.write(f"{args.image_id or args.exam_id}\n{exc}\n\n")
         raise
 
-    text, _report = generate_report(clf, image_embeddings, rng=rngs.host)
+    from mmgclip_tpu.evaluation.report_cascade import decide
+
+    decisions = decide(model, state["params"], tokenizer, image_embeddings)
+    text, _report = generate_report(decisions, rng=rngs.host)
     print("Generated Report: ", text)
 
 

@@ -1,0 +1,128 @@
+"""The report-generation decision cascade as ONE jitted device program.
+
+The reference walks its decision tree with 7-9 separate tiny model forwards,
+crossing the host<->device boundary at every step
+(reference: generate_report.py:204-367; SURVEY §3.4).  Here every prompt bank
+is embedded once into a padded [n_banks, max_prompts, d] table, and a single
+jitted function computes ALL decisions — mass type, malignancy, shape,
+margin, calcification attributes, both BI-RADS branches, architectural
+distortion — in one device call: each decision is a masked argmax over one
+row of similarities against the same image embedding.  Branching happens on
+the host afterwards, on integer outputs.
+
+generate_report.py composes this with the template assembly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import l2_normalize
+
+BANKS: Dict[str, List[str]] = {
+    "mass_type": [
+        "Mammogram revealed a mass.",
+        "Mammogram revealed calcifications.",
+        "No findings are present.",
+    ],
+    "mass_malignancy": [
+        "Mass suggestive of benign pathology.",
+        "Mass suggestive of malignant pathology.",
+    ],
+    "mass_shape": ["Mass shape is oval.", "Mass shape is round.", "Mass shape is irregular."],
+    "mass_margin": [
+        "Mass margin is circumscribed.",
+        "Mass margin is obscured.",
+        "Mass margin is spiculated.",
+        "Mass margin is ill defined.",
+    ],
+    "calc_malignancy": [
+        "Calcifications suggestive of benign pathology.",
+        "Calcifications suggestive of malignant pathology.",
+    ],
+    "calc_distribution": [
+        "Mammogram revealed calcifications with diffuse distribution.",
+        "Mammogram revealed calcifications with regional distribution.",
+        "Mammogram revealed calcifications with grouped distribution.",
+        "Mammogram revealed calcifications with linear distribution.",
+        "Mammogram revealed calcifications with segmental distribution.",
+    ],
+    "birads_benign": ["BIRADS score of 0.", "BIRADS score of 2.", "BIRADS score of 3."],
+    "birads_malignant": [
+        "BIRADS score of 0.",
+        "BIRADS score of 4.",
+        "BIRADS score of 5.",
+        "BIRADS score of 6.",
+    ],
+    "arch_distortion": [
+        "Mammogram displayed architectural distortion.",
+        "Mammography showed no evidence of architectural distortion.",
+    ],
+}
+
+BANK_ORDER = list(BANKS.keys())
+
+
+class CascadeDecisions(NamedTuple):
+    """Integer argmax per decision bank (host reads these to assemble text)."""
+
+    mass_type: jnp.ndarray
+    mass_malignancy: jnp.ndarray
+    mass_shape: jnp.ndarray
+    mass_margin: jnp.ndarray
+    calc_malignancy: jnp.ndarray
+    calc_distribution: jnp.ndarray
+    birads_benign: jnp.ndarray
+    birads_malignant: jnp.ndarray
+    arch_distortion: jnp.ndarray
+
+
+def build_prompt_table(model, params, tokenizer) -> jnp.ndarray:
+    """Embed every bank once -> padded [n_banks, max_prompts, d] table and a
+    validity mask [n_banks, max_prompts]."""
+    max_prompts = max(len(v) for v in BANKS.values())
+    rows = []
+    masks = []
+    for name in BANK_ORDER:
+        prompts = BANKS[name]
+        tokens = tokenizer(
+            prompts, padding="max_length", truncation=True,
+            max_length=int(model.config.tokenizer.config.sequence_length),
+        )
+        tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
+        pooled = model.apply_text_tower(tokens)
+        emb = l2_normalize(model.project_text(params, pooled, train=False))
+        pad = max_prompts - emb.shape[0]
+        rows.append(jnp.pad(emb, ((0, pad), (0, 0))))
+        masks.append(jnp.asarray([1] * emb.shape[0] + [0] * pad, jnp.int32))
+    return jnp.stack(rows), jnp.stack(masks)
+
+
+@partial(jax.jit, static_argnums=())
+def run_cascade(image_embedding, prompt_table, prompt_mask) -> CascadeDecisions:
+    """All cascade decisions in one device call.
+
+    image_embedding: [d] L2-normalized; prompt_table: [n_banks, p, d];
+    prompt_mask: [n_banks, p] validity.
+    """
+    sims = jnp.einsum("d,bpd->bp", image_embedding, prompt_table)
+    sims = jnp.where(prompt_mask > 0, sims, -jnp.inf)
+    winners = jnp.argmax(sims, axis=-1)  # [n_banks]
+    return CascadeDecisions(*[winners[i] for i in range(len(BANK_ORDER))])
+
+
+def decide(model, params, tokenizer, image_features) -> Dict[str, int]:
+    """Convenience wrapper: features -> dict of decision indices."""
+    feats = jnp.asarray(image_features)
+    if feats.ndim == 1:
+        feats = feats[None, :]
+    flat = model.apply_image_tower(params, feats)
+    emb = l2_normalize(model.project_image(params, flat, train=False))[0]
+    table, mask = build_prompt_table(model, params, tokenizer)
+    decisions = run_cascade(emb, table, mask)
+    return {name: int(getattr(decisions, name)) for name in BANK_ORDER}

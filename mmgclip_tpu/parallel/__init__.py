@@ -1,3 +1,11 @@
+from .collectives import (
+    all_gather,
+    pmean,
+    ppermute,
+    psum,
+    reduce_scatter,
+    ring_all_gather,
+)
 from .contrastive import global_clip_loss, global_mmgclip_loss
 from .tensor_parallel import shard_text_tower, text_tower_specs
 from .mesh import (
@@ -11,6 +19,12 @@ from .mesh import (
 )
 
 __all__ = [
+    "all_gather",
+    "pmean",
+    "ppermute",
+    "psum",
+    "reduce_scatter",
+    "ring_all_gather",
     "global_clip_loss",
     "shard_text_tower",
     "text_tower_specs",

@@ -1,0 +1,91 @@
+"""Collective wrappers + the Pallas ring all-gather on the 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec
+
+from mmgclip_tpu.parallel import create_mesh
+from mmgclip_tpu.parallel.collectives import (
+    all_gather,
+    pmean,
+    ppermute,
+    psum,
+    reduce_scatter,
+    ring_all_gather,
+)
+
+P = PartitionSpec
+
+
+def _mesh():
+    return create_mesh(data=8, model=1)
+
+
+def _run(fn, *arrays, out_spec=P()):
+    mesh = _mesh()
+    return shard_map(
+        fn, mesh=mesh, in_specs=tuple(P("data") for _ in arrays), out_specs=out_spec
+    )(*arrays)
+
+
+def test_psum_and_pmean():
+    x = jnp.arange(8.0).reshape(8, 1)
+    total = _run(lambda v: psum(v.sum()), x)
+    np.testing.assert_allclose(float(total), 28.0)
+    mean = _run(lambda v: pmean(v.sum()), x)
+    np.testing.assert_allclose(float(mean), 3.5)
+
+
+def test_all_gather_tiled():
+    x = jnp.arange(16.0).reshape(16, 1)
+    gathered = _run(lambda v: all_gather(v), x, out_spec=P("data", None))
+    # every shard holds the full array; output respec'd back over data
+    assert gathered.shape == (128, 1)
+
+
+def test_ppermute_ring_shift():
+    x = jnp.arange(8.0).reshape(8, 1)
+    perm = [(i, (i + 1) % 8) for i in range(8)]
+    shifted = _run(lambda v: ppermute(v, perm), x, out_spec=P("data", None))
+    np.testing.assert_allclose(np.asarray(shifted)[:, 0], np.roll(np.arange(8.0), 1))
+
+
+def test_reduce_scatter():
+    x = jnp.ones((8, 8))
+    out = _run(lambda v: reduce_scatter(v.reshape(8)), x, out_spec=P("data"))
+    np.testing.assert_allclose(np.asarray(out), np.full(8, 8.0))
+
+
+def test_ring_all_gather_matches_xla():
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)  # 8 rows/device
+
+    # pallas remote DMA with LOGICAL ids needs a single-axis mesh
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    expected = shard_map(
+        lambda v: jax.lax.all_gather(v, "data", tiled=True),
+        mesh=mesh, in_specs=(P("data"),), out_specs=P("data", None),
+    )(x)
+
+    out = jax.shard_map(
+        lambda v: ring_all_gather(v, "data", interpret=True),
+        mesh=mesh, in_specs=(P("data"),), out_specs=P("data", None),
+        check_vma=False,  # interpret-mode pallas + varying axis ids trip the vma checker
+    )(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+
+
+def test_ring_all_gather_fallback_on_ragged_shapes():
+    # 3 columns can't tile onto 128 lanes -> falls back to XLA all_gather
+    x = jnp.arange(24.0).reshape(8, 3)
+    mesh = _mesh()
+    out = shard_map(
+        lambda v: ring_all_gather(v, "data"),
+        mesh=mesh, in_specs=(P("data"),), out_specs=P("data", None),
+    )(x)
+    assert out.shape == (64, 3)

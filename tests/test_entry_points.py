@@ -128,23 +128,35 @@ def test_04_generate_report(workspace):
     cfg = _configure(workspace, run_dir)
     cfg.base.features_export_dir = str(workspace["root"] / "encoded")
 
+    from mmgclip_tpu.evaluation.report_cascade import BANKS, decide
+
     rngs = mmgclip_tpu.seeding(42)
     tokenizer = mmgclip_tpu.Tokenizer.from_pretrained("x", sequence_length=32)
     model = mmgclip_tpu.MMGCLIP(cfg, seed=42, vocab_size=tokenizer.vocab_size)
     ckp = os.path.join(cfg.checkpoints.checkpoints_export_dir, "model.msgpack")
     state = load_checkpoint(ckp, model.trainable_params)
-    clf = mmgclip_tpu.PromptClassifier(model, tokenizer, params=state["params"])
 
     image_id = make_image_id(2000000, 2, "cl")
     embeddings = gr.encode_inputs(cfg, image_id=image_id)
     assert embeddings.shape == (1, 768)
 
-    text, report = gr.generate_report(clf, embeddings, rng=rngs.host)
+    # one-device-call cascade decisions
+    decisions = decide(model, state["params"], tokenizer, embeddings)
+    assert set(decisions) == set(BANKS)
+    for name, idx in decisions.items():
+        assert 0 <= idx < len(BANKS[name])
+
+    # cascade argmax must match the step-by-step PromptClassifier path
+    clf = mmgclip_tpu.PromptClassifier(model, tokenizer, params=state["params"])
+    stepwise = clf(embeddings, BANKS["mass_type"])
+    assert decisions["mass_type"] == stepwise["similarities_argmax"]
+
+    text, report = gr.generate_report(decisions, rng=rngs.host)
     assert isinstance(text, str) and len(text) > 10
     assert "{" not in text
     assert report["mass_type"] is not None
     # determinism: same seed -> same report
-    text2, _ = gr.generate_report(clf, embeddings, rng=mmgclip_tpu.seeding(42).host)
+    text2, _ = gr.generate_report(decisions, rng=mmgclip_tpu.seeding(42).host)
     assert text == text2
 
     # exam-level path with view fusion: pid 02000000, study 02
