@@ -79,9 +79,15 @@ class ClassifierExperiment:
         self.criterion = create_loss(self.loss_name)
         logger.info(f"Using {self.loss_name} loss.")
 
+        freeze_mask = None
+        if self.model.image_encoder_name == "ResNet50Encoder":
+            from .optim import resnet_finetune_mask
+
+            freeze_mask = resnet_finetune_mask(self.params)
         self.optimizer = create_optimizer(
             float(config.optimizer.config.learning_rate),
             float(config.optimizer.config.weight_decay),
+            freeze_mask=freeze_mask,
         )
         self.opt_state = self.optimizer.init(self.params)
         self.scheduler = create_scheduler(config)

@@ -21,8 +21,30 @@ def create_optimizer(learning_rate: float, weight_decay: float, freeze_mask=None
         learning_rate=learning_rate, weight_decay=weight_decay
     )
     if freeze_mask is not None:
-        tx = optax.chain(optax.masked(tx, freeze_mask))
+        import jax
+
+        # optax.masked leaves unmasked updates UNTOUCHED (raw gradients), so
+        # the frozen complement must be explicitly zeroed
+        inverse = jax.tree_util.tree_map(lambda m: not m, freeze_mask)
+        tx = optax.chain(
+            optax.masked(tx, freeze_mask),
+            optax.masked(optax.set_to_zero(), inverse),
+        )
     return tx
+
+
+def resnet_finetune_mask(params):
+    """True = trainable.  Freezes every image-encoder weight except the
+    `layer4` stage (reference: mmgclip/networks/encoder.py:77-88)."""
+    import jax
+
+    def keep(path, _leaf):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if keys and keys[0] == "image_encoder":
+            return any(k.startswith("layer4") for k in keys)
+        return True
+
+    return jax.tree_util.tree_map_with_path(keep, params)
 
 
 def set_learning_rate(opt_state, lr: float):
