@@ -122,6 +122,16 @@ class ClassifierExperiment:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._val_step = jax.jit(partial(self._val_step_impl))
 
+        # fused-epoch fast path: with frozen towers, the feature/text banks
+        # are tiny and HBM-resident, so a whole epoch runs as ONE jitted
+        # lax.scan over shuffled batch indices — zero host round-trips per
+        # step.  Requires the train split to expose a contiguous index list.
+        self._fused = bool(config.get_path("base.fused_epoch", True)) and train_dataloader is not None
+        self._epoch_fn = None
+        if self._fused:
+            self._feats_bank = None  # built lazily on first epoch
+
+
     # ------------------------------------------------------------------
     def _pool_tokens(self, tokens: Dict[str, np.ndarray], chunk: int = 256) -> jnp.ndarray:
         """Run the frozen text tower over all rows once; returns [N, hidden]."""
@@ -175,27 +185,93 @@ class ClassifierExperiment:
             text2 = jax.device_put(self._impression_bank[idx], self._batch_sharding)
         return feats, text, text2
 
+    # ------------------------------------------------------------------
+    # fused-epoch path: one jitted lax.scan per epoch
+    # ------------------------------------------------------------------
+    def _build_fused_epoch(self):
+        """Device-resident banks + the scanned epoch function."""
+        loader = self.train_dataloader
+        base = _base_dataset(loader.dataset)
+
+        # resolve the train split's dataset-level indices
+        node, indices = loader.dataset, None
+        chain = []
+        while hasattr(node, "indices"):
+            chain.append(np.asarray(node.indices))
+            node = node.dataset
+        if chain:
+            indices = chain[-1]
+            for level in reversed(chain[:-1]):
+                indices = indices[level]
+        else:
+            indices = np.arange(len(base))
+        self._train_indices = indices
+
+        feats = base._features[indices].reshape(len(indices), -1).astype(np.float32)
+        self._feats_bank = jax.device_put(jnp.asarray(feats), self._replicated)
+        self._text_train_bank = jax.device_put(self._text_bank[jnp.asarray(indices)], self._replicated)
+        self._text2_train_bank = (
+            jax.device_put(self._impression_bank[jnp.asarray(indices)], self._replicated)
+            if self._impression_bank is not None
+            else None
+        )
+
+        def epoch_fn(params, opt_state, feats_bank, text_bank, text2_bank, batch_idx, rng):
+            def step(carry, idx):
+                params, opt_state, rng = carry
+                rng, step_key = jax.random.split(rng)
+                text2 = None if text2_bank is None else text2_bank[idx]
+                params, opt_state, loss = self._train_step_impl(
+                    params, opt_state, feats_bank[idx], text_bank[idx], text2, step_key
+                )
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(step, (params, opt_state, rng), batch_idx)
+            return params, opt_state, rng, jnp.mean(losses)
+
+        self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    def _fused_epoch(self) -> float:
+        if self._feats_bank is None:
+            self._build_fused_epoch()
+        n = len(self._train_indices)
+        bs = self.train_dataloader.batch_size
+        order = np.random.default_rng((int(self.config.base.seed), self.current_epoch)).permutation(n)
+        steps = n // bs
+        if steps == 0:
+            return float("nan")
+        batch_idx = jnp.asarray(order[: steps * bs].reshape(steps, bs))
+        self.params, self.opt_state, self.rng_key, mean_loss = self._epoch_fn(
+            self.params, self.opt_state, self._feats_bank,
+            self._text_train_bank, self._text2_train_bank, batch_idx, self.rng_key,
+        )
+        return float(mean_loss)
+
     def train(self) -> float:
         from ..utils.profiling import maybe_trace
 
-        losses = []
-        n_samples = 0
         profile = bool(self.config.get_path("base.profile", False)) and self.current_epoch == 1
         start = time.perf_counter()
+        n_samples = 0
         with maybe_trace(profile, self.config.base.tensorboard_export_dir):
-            for batch in self.train_dataloader:
-                feats, text, text2 = self._device_batch(batch)
-                self.rng_key, step_key = jax.random.split(self.rng_key)
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, feats, text, text2, step_key
-                )
-                losses.append(loss)
-                n_samples += feats.shape[0]
-        jax.block_until_ready(losses[-1]) if losses else None
+            if self._fused and self.train_dataloader.sampler is None:
+                epoch_loss = self._fused_epoch()
+                n_samples = (len(self._train_indices) // self.train_dataloader.batch_size) * self.train_dataloader.batch_size
+            else:
+                losses = []
+                for batch in self.train_dataloader:
+                    feats, text, text2 = self._device_batch(batch)
+                    self.rng_key, step_key = jax.random.split(self.rng_key)
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params, self.opt_state, feats, text, text2, step_key
+                    )
+                    losses.append(loss)
+                    n_samples += feats.shape[0]
+                epoch_loss = float(np.mean(jax.device_get(jnp.stack(losses)))) if losses else float("nan")
+        jax.block_until_ready(self.params["logit_scale"])
         elapsed = time.perf_counter() - start
-        epoch_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
         self.writer.add_scalar("loss/train", epoch_loss, self.current_epoch + 1)
-        if elapsed > 0:
+        if elapsed > 0 and n_samples:
             self.writer.add_scalar("throughput/train_samples_per_s", n_samples / elapsed, self.current_epoch + 1)
         return epoch_loss
 
