@@ -10,6 +10,8 @@ from .contrastive import global_clip_loss, global_mmgclip_loss
 from .tensor_parallel import shard_text_tower, text_tower_specs
 from .mesh import (
     DATA_AXIS,
+    SLICE_AXIS,
+    create_multislice_mesh,
     MODEL_AXIS,
     batch_sharding,
     create_mesh,
@@ -30,6 +32,8 @@ __all__ = [
     "text_tower_specs",
     "global_mmgclip_loss",
     "DATA_AXIS",
+    "SLICE_AXIS",
+    "create_multislice_mesh",
     "MODEL_AXIS",
     "batch_sharding",
     "create_mesh",

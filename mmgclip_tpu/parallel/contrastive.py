@@ -27,16 +27,27 @@ def _cross_entropy(logits, labels):
     return -jnp.mean(picked)
 
 
-def global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name: str = DATA_AXIS):
+def _shard_index(axis_name):
+    """Linear shard index for one axis name or a (slice, data) tuple."""
+    if isinstance(axis_name, (tuple, list)):
+        index = jnp.int32(0)
+        for name in axis_name:
+            index = index * jax.lax.axis_size(name) + jax.lax.axis_index(name)
+        return index
+    return jax.lax.axis_index(axis_name)
+
+
+def global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name=DATA_AXIS):
     """Symmetric InfoNCE against the gathered global batch.
 
     Must run inside a mapped context (shard_map / pjit-with-collectives) where
-    ``axis_name`` is bound.  Embeddings are the local shard [local_n, d],
-    already L2-normalized.  Returns the mean loss (identical on every chip
-    after pmean) and the local label offsets.
+    ``axis_name`` is bound — a single axis or a ("slice", "data") tuple for
+    multi-slice DP.  Embeddings are the local shard [local_n, d], already
+    L2-normalized.  Returns the mean loss (identical on every chip after
+    pmean) and the local label offsets.
     """
     local_n = image_embeddings.shape[0]
-    shard = jax.lax.axis_index(axis_name)
+    shard = _shard_index(axis_name)
 
     all_image = jax.lax.all_gather(image_embeddings, axis_name, tiled=True)  # [global_n, d]
     all_text = jax.lax.all_gather(text_embeddings, axis_name, tiled=True)
@@ -56,13 +67,13 @@ def global_mmgclip_loss(
     text_embeddings2,
     logit_scale,
     t2t_weight: float = 0.5,
-    axis_name: str = DATA_AXIS,
+    axis_name=DATA_AXIS,
 ):
     """Global-batch MMGCLIPLoss: CLIP term + text-to-text impression term."""
     clip_term, labels = global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name)
 
     local_n = text_embeddings.shape[0]
-    shard = jax.lax.axis_index(axis_name)
+    shard = _shard_index(axis_name)
     all_text = jax.lax.all_gather(text_embeddings, axis_name, tiled=True)
     all_text2 = jax.lax.all_gather(text_embeddings2, axis_name, tiled=True)
     logits_t2t1 = logit_scale * text_embeddings2 @ all_text.T

@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"  # DCN axis between TPU slices
 
 
 def create_mesh(
@@ -37,9 +38,39 @@ def create_mesh(
     return Mesh(device_array, axis_names)
 
 
+def create_multislice_mesh(
+    n_slices: int,
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """[slice, data, model] mesh: the `slice` axis spans DCN (between TPU
+    slices), `data`/`model` ride ICI within a slice.
+
+    Layouts should keep heavy collectives off the slice axis: the
+    global-batch contrastive gather runs over ("slice", "data") but
+    gradient psums dominate traffic and stay on ICI when parameters are
+    replicated per-slice.  With `jax.devices()` ordering, devices of one
+    slice are contiguous, so reshape(n_slices, data, model) puts ICI
+    neighbors together.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    per_slice = len(devices) // n_slices
+    if data is None:
+        data = per_slice // model
+    if n_slices * data * model != len(devices):
+        raise ValueError(
+            f"Mesh {n_slices}x{data}x{model} does not match {len(devices)} devices"
+        )
+    device_array = np.asarray(devices).reshape(n_slices, data, model)
+    return Mesh(device_array, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+    """Shard the leading (batch) axis over slice+data axes (DP)."""
+    axes = tuple(a for a in (SLICE_AXIS, DATA_AXIS) if a in mesh.axis_names)
+    spec = PartitionSpec(axes if len(axes) > 1 else axes[0])
+    return NamedSharding(mesh, spec)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

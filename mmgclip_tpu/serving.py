@@ -1,0 +1,149 @@
+"""Batch inference engine for production serving.
+
+The reference has no serving path — inference means re-running evaluation
+scripts.  This engine loads everything once — trained CLIP head, frozen text
+tower, ConvNeXt encode tower — keeps prompt-bank embeddings and the jitted
+encode/classify programs warm, and serves three operations:
+
+* ``encode``   : image paths -> 768-d features (shape-bucketed batches);
+* ``classify`` : zero-shot classification of features/paths against an
+                 arbitrary prompt list (cached per prompt tuple);
+* ``report``   : structured BI-RADS report per image/exam (one-device-call
+                 cascade + seeded template assembly).
+
+`serve.py` wraps it in a stdin/stdout JSONL protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, recompose
+from .data.tokenizer import Tokenizer
+from .evaluation.report_cascade import BANK_ORDER, build_prompt_table, run_cascade
+from .ingest.encode import load_convnext_tower
+from .ingest.png_reader import decode_png
+from .models.clip import MMGCLIP, l2_normalize
+from .ops.fusion import fuse_views
+from .ops.preprocess import intensity_transform
+from .training.checkpoint import load_checkpoint
+from .utils.logging import logger
+
+
+class InferenceEngine:
+    def __init__(self, config: Config, checkpoint_path: Optional[str] = None, seed: int = 0):
+        self.config = config
+        self.tokenizer = Tokenizer.from_pretrained(
+            config.tokenizer.config.tokenizer_name,
+            sequence_length=int(config.tokenizer.config.sequence_length),
+        )
+        self.model = MMGCLIP(config, seed=int(config.get_path("base.seed", seed)),
+                             vocab_size=self.tokenizer.vocab_size)
+        if checkpoint_path is None:
+            checkpoint_path = os.path.join(
+                config.checkpoints.checkpoints_export_dir, config.checkpoints.checkpoints_file_name
+            )
+        if os.path.isfile(checkpoint_path):
+            self.params = load_checkpoint(checkpoint_path, self.model.trainable_params)["params"]
+        else:
+            logger.warning(f"No checkpoint at {checkpoint_path}; serving with init params.")
+            self.params = self.model.trainable_params
+
+        self.encode_module, self.encode_params, self.cn_config = load_convnext_tower(config)
+        self._encode_jit = jax.jit(self._encode_impl)
+        self._prompt_cache: Dict[tuple, jnp.ndarray] = {}
+        self._cascade_table = None
+
+    # ------------------------------------------------------------------
+    def _encode_impl(self, pixels_u8):
+        x = intensity_transform(pixels_u8)[..., None]
+        if self.cn_config.in_channels > 1:
+            x = jnp.repeat(x, self.cn_config.in_channels, axis=-1)
+        return self.encode_module.apply(self.encode_params, x)
+
+    def encode_paths(self, paths: Sequence[str]) -> np.ndarray:
+        """PNG paths -> [n, 768] features, bucketed by shape."""
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for i, path in enumerate(paths):
+            pixels = decode_png(path)
+            buckets[pixels.shape].append((i, pixels))
+        out = np.zeros((len(paths), self.cn_config.dims[-1]), np.float32)
+        for _shape, items in buckets.items():
+            stack = jnp.asarray(np.stack([px for _i, px in items]))
+            feats = np.asarray(self._encode_jit(stack))
+            for (i, _px), vec in zip(items, feats):
+                out[i] = vec
+        return out
+
+    def encode_exam(self, exam_dir: str, method: Optional[str] = None, n_views: int = 4) -> np.ndarray:
+        views = sorted(os.listdir(exam_dir))[:n_views]
+        feats = self.encode_paths([os.path.join(exam_dir, v) for v in views])
+        method = method or self.config.get_path("dataset.config.concatenate_features_method", "avgpool")
+        fused = np.asarray(fuse_views(jnp.asarray(feats), method))
+        return fused if fused.ndim == 2 else fused[None, :]
+
+    # ------------------------------------------------------------------
+    def _prompt_embeddings(self, prompts: Sequence[str]) -> jnp.ndarray:
+        key = tuple(prompts)
+        if key not in self._prompt_cache:
+            tokens = self.tokenizer(list(prompts), max_length=self.tokenizer.sequence_length)
+            tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
+            pooled = self.model.apply_text_tower(tokens)
+            self._prompt_cache[key] = l2_normalize(
+                self.model.project_text(self.params, pooled, train=False)
+            )
+        return self._prompt_cache[key]
+
+    def image_embeddings(self, features: np.ndarray) -> jnp.ndarray:
+        feats = jnp.asarray(features, jnp.float32)
+        if feats.ndim == 1:
+            feats = feats[None, :]
+        flat = self.model.apply_image_tower(self.params, feats)
+        return l2_normalize(self.model.project_image(self.params, flat, train=False))
+
+    def classify(self, features: np.ndarray, class_list: Sequence[str]) -> Dict:
+        """Zero-shot classify features against prompts -> probs + argmax."""
+        image_emb = self.image_embeddings(features)
+        text_emb = self._prompt_embeddings(class_list)
+        logits = jnp.exp(self.params["logit_scale"]) * image_emb @ text_emb.T
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        return {
+            "classes_similarities": probs.tolist(),
+            "similarities_argmax": np.argmax(probs, axis=-1).tolist(),
+            "class_list": list(class_list),
+        }
+
+    # ------------------------------------------------------------------
+    def cascade_decisions(self, features: np.ndarray) -> List[Dict[str, int]]:
+        if self._cascade_table is None:
+            self._cascade_table = build_prompt_table(self.model, self.params, self.tokenizer)
+        table, mask = self._cascade_table
+        out = []
+        for emb in self.image_embeddings(features):
+            decisions = run_cascade(emb, table, mask)
+            out.append({name: int(getattr(decisions, name)) for name in BANK_ORDER})
+        return out
+
+    def generate_reports(self, features: np.ndarray, seed: int = 42) -> List[str]:
+        import importlib
+
+        gr = importlib.import_module("generate_report")
+        texts = []
+        for decisions in self.cascade_decisions(features):
+            texts.append(gr.generate_report(decisions, rng=random.Random(seed))[0])
+        return texts
+
+    @classmethod
+    def from_experiment(cls, experiment_path: str) -> "InferenceEngine":
+        """Load from a run directory (reads the .hydra snapshot)."""
+        cfg = recompose(experiment_path)
+        cfg.checkpoints.checkpoints_export_dir = os.path.join(experiment_path, "checkpoints")
+        return cls(cfg)

@@ -1,0 +1,98 @@
+"""Serving engine + JSONL protocol on a trained fixture experiment."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mmgclip_tpu.config import Config, compose, save_snapshot
+from mmgclip_tpu.serving import InferenceEngine
+from fixtures import build_image_label_tree, make_image_id
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG_DIR = os.path.join(REPO, "configs")
+
+TINY_TEXT = {
+    "config": {
+        "vocab_size": 4096, "hidden_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "intermediate_size": 128, "max_position_embeddings": 64,
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    """Train a tiny model and return (run_dir, image paths)."""
+    import train
+
+    root = tmp_path_factory.mktemp("serve")
+    base, annotated, lists_dir, features_dir = build_image_label_tree(
+        str(root), n_benign=8, n_malignant=8, image_size=32
+    )
+    run_dir = root / "run"
+    run_dir.mkdir()
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf", run_dir=str(run_dir))
+    cfg.dataset.config.base_dataset_path = base
+    cfg.dataset.config.annotated_dataset_path = annotated
+    cfg.dataset.config.lists_dataset_path = lists_dir
+    cfg.base.features_export_dir = features_dir
+    cfg.base.export_dir = str(run_dir)
+    cfg.base.results_export_dir = str(run_dir / "results")
+    cfg.base.tensorboard_export_dir = str(run_dir / "runs")
+    cfg.checkpoints.checkpoints_export_dir = str(run_dir / "checkpoints")
+    cfg.tokenizer.config.sequence_length = 32
+    cfg.networks.text_encoder = Config({"name": "BertEncoder", **TINY_TEXT})
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.scheduler.config.epochs = 2
+    cfg.dataloader.train.batch_size = 4
+    cfg.dataloader.valid.batch_size = 2
+    cfg.dataset.eval.enum_classes = []
+    save_snapshot(cfg, str(run_dir))
+    train.run(cfg)
+
+    image_id = make_image_id(2000000, 2, "cl")
+    png = os.path.join(base, "02", "02000000", "st02", f"{image_id}.png")
+    exam_dir = os.path.join(base, "02", "02000000", "st02")
+    return str(run_dir), png, exam_dir
+
+
+def test_engine_encode_classify_report(experiment):
+    run_dir, png, exam_dir = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+
+    feats = engine.encode_paths([png, png])
+    assert feats.shape == (2, 768)
+    np.testing.assert_allclose(feats[0], feats[1])
+
+    result = engine.classify(feats, ["Mammogram revealed a mass.", "No findings are present."])
+    probs = np.asarray(result["classes_similarities"])
+    assert probs.shape == (2, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+
+    exam_feats = engine.encode_exam(exam_dir)
+    assert exam_feats.shape[-1] == 768
+
+    reports = engine.generate_reports(feats[:1], seed=7)
+    assert len(reports) == 1 and len(reports[0]) > 10
+    # deterministic per seed
+    assert reports == engine.generate_reports(feats[:1], seed=7)
+
+
+def test_serve_cli_once(experiment):
+    run_dir, png, _ = experiment
+    request = json.dumps({"op": "classify", "paths": [png],
+                          "class_list": ["benign", "malignant"], "id": 1})
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "serve.py"),
+         "--experiment_path", run_dir, "--once", request],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    response = json.loads(out.stdout.strip().splitlines()[-1])
+    assert response["id"] == 1
+    assert "result" in response
+    assert response["result"]["class_list"] == ["benign", "malignant"]
