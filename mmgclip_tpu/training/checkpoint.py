@@ -49,6 +49,29 @@ def save_checkpoint(
     return path
 
 
+def save_checkpoint_orbax(directory: str, params, opt_state=None, **scalars) -> str:
+    """Alternative backend: Orbax PyTree checkpoint (async-capable, sharded
+    array-aware — preferred for very large states; the default pickle+msgpack
+    path is simpler for this framework's ~MB train states)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    checkpointer = ocp.PyTreeCheckpointer()
+    state = {"params": jax.device_get(params)}
+    if opt_state is not None:
+        state["opt_state"] = jax.device_get(opt_state)
+    state["scalars"] = {k: v for k, v in scalars.items() if v is not None}
+    checkpointer.save(directory, state, force=True)
+    return directory
+
+
+def load_checkpoint_orbax(directory: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    return checkpointer.restore(os.path.abspath(directory))
+
+
 def load_checkpoint(path: str, params_template, opt_state_template=None) -> Dict[str, Any]:
     """Restore a checkpoint against pytree templates (shapes must match)."""
     with open(path, "rb") as fh:

@@ -140,3 +140,13 @@ def test_train_step_is_multi_device_sharded(tmp_path):
     batch = next(iter(exp.train_dataloader))
     feats, text, text2 = exp._device_batch(batch)
     assert feats.sharding.num_devices == 8
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    from mmgclip_tpu.training.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
+
+    params = {"w": np.ones((4, 4), np.float32), "b": np.arange(4.0, dtype=np.float32)}
+    path = save_checkpoint_orbax(str(tmp_path / "ck"), params, epoch=3, val_loss=0.5)
+    state = load_checkpoint_orbax(path)
+    np.testing.assert_array_equal(state["params"]["w"], params["w"])
+    assert state["scalars"]["epoch"] == 3
