@@ -177,12 +177,16 @@ class ClassifierExperiment:
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
-        feats = jax.device_put(jnp.asarray(batch["image_features"], jnp.float32), self._batch_sharding)
+        n = len(batch["indices"])
+        # batches that don't divide the mesh (e.g. a smaller validation
+        # batch size) are placed replicated instead of sharded
+        sharding = self._batch_sharding if n % self.mesh.devices.size == 0 else self._replicated
+        feats = jax.device_put(jnp.asarray(batch["image_features"], jnp.float32), sharding)
         idx = batch["indices"]
-        text = jax.device_put(self._text_bank[idx], self._batch_sharding)
+        text = jax.device_put(self._text_bank[idx], sharding)
         text2 = None
         if self._impression_bank is not None:
-            text2 = jax.device_put(self._impression_bank[idx], self._batch_sharding)
+            text2 = jax.device_put(self._impression_bank[idx], sharding)
         return feats, text, text2
 
     # ------------------------------------------------------------------

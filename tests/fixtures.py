@@ -53,6 +53,7 @@ def build_image_label_tree(
     image_size: int = 32,
     features_dim: int = 768,
     feature_store: bool = True,
+    separable: bool = False,
 ) -> Tuple[str, str, str, str]:
     """Returns (base_dataset_path, annotated_path, lists_path, features_dir)."""
     # replicate the real store prefix: <...>/2D_100micron/0/<pid[:2]>/<pid>/st<study>
@@ -97,7 +98,12 @@ def build_image_label_tree(
         if feature_store:
             feat_path = os.path.join(features_dir, "0/02", pid[:2], pid, "st02", f"{image_id}.npy")
             os.makedirs(os.path.dirname(feat_path), exist_ok=True)
-            np.save(feat_path, rng.normal(size=(1, features_dim, 1, 1)).astype(np.float32))
+            feats = rng.normal(size=(1, features_dim, 1, 1)).astype(np.float32)
+            if separable:
+                # class signal: benign/malignant means differ along a subspace
+                direction = np.sign(np.arange(features_dim) % 2 - 0.5).astype(np.float32)
+                feats[0, :, 0, 0] += (3.0 if benign else -3.0) * direction
+            np.save(feat_path, feats)
 
     for i in range(n_benign):
         emit(i, benign=True)
