@@ -134,3 +134,22 @@ def test_create_loss_registry():
         create_loss("NotALoss")
     fn = create_loss("AveragedMedicalCLIPLoss", similarity_threshold=0.9)
     assert callable(fn)
+
+
+def test_averaged_loss_through_model_forward_contract():
+    """create_loss('AveragedMedicalCLIPLoss')(**model_outputs) works — the
+    forward dict carries every argument the loss needs."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    txt = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    scale = jnp.asarray(5.0, jnp.float32)
+    outputs = {
+        "image_embeddings": img,
+        "text_embeddings": txt,
+        "logit_scale": scale,
+        "logits_per_image": scale * img @ txt.T,
+        "logits_per_text": scale * txt @ img.T,
+    }
+    loss, labels = create_loss("AveragedMedicalCLIPLoss")(**outputs)
+    assert np.isfinite(float(loss))
+    assert labels.shape == (6,)
