@@ -9,6 +9,7 @@ ops, converters).
 from .config import Config, compose, load_config, recompose, save_snapshot
 from .data import (
     DataLoaders,
+    find_similar_item,
     ImbalancedDatasetSampler,
     Subset,
     Tokenizer,
@@ -44,6 +45,7 @@ from .prompts import (
 )
 from .training import ClassifierExperiment, create_experiment
 from .utils import logger, seeding
+from .utils.plot import plot_dataloader_batch, plot_cv2_image, pprint
 
 __version__ = "0.1.0"
 
@@ -88,4 +90,8 @@ __all__ = [
     "create_experiment",
     "logger",
     "seeding",
+    "find_similar_item",
+    "plot_dataloader_batch",
+    "plot_cv2_image",
+    "pprint",
 ]

@@ -35,6 +35,9 @@ class ConvNeXtConfig:
     # blocks run under lax.scan over stacked params; `unroll_blocks` trades
     # compile time for cross-block fusion (True = fully unrolled program)
     unroll_blocks: Any = 1
+    # route the 7x7 depthwise conv through the Pallas kernel
+    # (ops/depthwise_conv.py) instead of lax's grouped conv
+    use_pallas_dwconv: bool = False
 
     @staticmethod
     def tiny(num_classes: int = 2) -> "ConvNeXtConfig":
@@ -61,6 +64,7 @@ class ConvNeXtStage(nn.Module):
     layer_scale_init: float
     dtype: Any = jnp.float32
     unroll: Any = 1
+    use_pallas_dwconv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -83,16 +87,23 @@ class ConvNeXtStage(nn.Module):
         }
         dtype = self.dtype
 
+        use_pallas = self.use_pallas_dwconv
+
         def block(x, p):
+            from ..ops.depthwise_conv import depthwise_conv7x7
+
             residual = x
-            y = jax.lax.conv_general_dilated(
-                x,
-                p["dwconv_kernel"].astype(dtype),
-                window_strides=(1, 1),
-                padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=d,
-            ) + p["dwconv_bias"].astype(dtype)
+            if use_pallas:
+                y = depthwise_conv7x7(x, p["dwconv_kernel"].astype(dtype), p["dwconv_bias"].astype(dtype))
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x,
+                    p["dwconv_kernel"].astype(dtype),
+                    window_strides=(1, 1),
+                    padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=d,
+                ) + p["dwconv_bias"].astype(dtype)
             y = _layer_norm(y, p["norm_scale"], p["norm_bias"]).astype(dtype)
             y = jnp.einsum("bhwc,cf->bhwf", y, p["pwconv1_kernel"].astype(dtype)) + p["pwconv1_bias"].astype(dtype)
             y = nn.gelu(y, approximate=False)
@@ -119,7 +130,7 @@ class ConvNeXt(nn.Module):
             if stage > 0:
                 x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_{stage}_norm")(x)
                 x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), name=f"downsample_{stage}_conv", dtype=cfg.dtype)(x)
-            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, name=f"stage_{stage}")(x)
+            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, name=f"stage_{stage}")(x)
 
         if not pool:
             return x

@@ -243,3 +243,23 @@ def test_tokenizer_fallback_contract():
     tok2 = Tokenizer.from_pretrained("other/name", sequence_length=16)
     out2 = tok2(["Mass margin is circumscribed.", "No mass."])
     np.testing.assert_array_equal(out["input_ids"], out2["input_ids"])
+
+
+def test_pallas_depthwise_conv_matches_lax():
+    from mmgclip_tpu.ops.depthwise_conv import depthwise_conv7x7
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(7, 7, 1, 128)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=128,
+    ) + b
+    out = depthwise_conv7x7(x, kern, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # ragged channel count falls back to lax
+    x3 = jnp.ones((1, 8, 8, 96))
+    k3 = jnp.ones((7, 7, 1, 96))
+    out3 = depthwise_conv7x7(x3, k3)
+    assert out3.shape == (1, 8, 8, 96)
