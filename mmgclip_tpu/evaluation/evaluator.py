@@ -283,24 +283,46 @@ class Evaluator:
 
         methods = list(self.config.dataset.eval.method)
         experiments_results = []
+        results_json: dict = {}
         for enum_class_name in self.config.dataset.eval.enum_classes:
             enum_class = get_enum_class(enum_class_name)
             classes_dict = {label.name: label.value for label in enum_class}
+            results_json[enum_class_name] = {}
 
             if "zeroshot" in methods:
                 results = self.zeroshot_eval(image_embeddings, prompt_labels, classes_dict, enum_class_name)
                 logger.info(f"zeroshot results for {enum_class_name}:\n{results}")
                 experiments_results.append(results)
+                results_json[enum_class_name]["zeroshot"] = {
+                    str(row[0]): {"auc": row[1], "accuracy": row[2], "f1": row[3]}
+                    for row in results.rows
+                }
             if "zeroshot_label_prompt" in methods:
                 results = self.zeroshot_label_prompt(image_embeddings, prompt_labels, classes_dict, enum_class_name)
                 logger.info(f"zeroshot_label_prompt results for {enum_class_name}:\n{results}")
                 experiments_results.append(results)
+                results_json[enum_class_name]["zeroshot_label_prompt"] = results
             if "confustion_matrix" in methods:
-                self.clf_conf_matrix(image_embeddings, prompt_labels, classes_dict, enum_class_name)
+                conf = self.clf_conf_matrix(image_embeddings, prompt_labels, classes_dict, enum_class_name)
+                results_json[enum_class_name]["confusion_matrix"] = np.asarray(conf).tolist()
 
         with open(os.path.join(self.config.base.results_export_dir, "results.txt"), "w") as fh:
             for result in experiments_results:
                 fh.write(str(result) + "\n\n")
+        # machine-readable mirror (new; feeds tools/parity_harness.py)
+        import json
+
+        def scrub(obj):
+            if isinstance(obj, dict):
+                return {str(k): scrub(v) for k, v in obj.items()}
+            if isinstance(obj, (list, tuple)):
+                return [scrub(v) for v in obj]
+            if isinstance(obj, (np.floating, np.integer)):
+                return obj.item()
+            return obj
+
+        with open(os.path.join(self.config.base.results_export_dir, "results.json"), "w") as fh:
+            json.dump(scrub(results_json), fh, indent=2, default=str)
         return experiments_results
 
     # ------------------------------------------------------------------
