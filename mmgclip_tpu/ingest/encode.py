@@ -209,17 +209,39 @@ class StudyFeatureExtractor(_Encoder):
         logger.info(f"Concatenating {n_views} images per study using {method}.")
         failed = os.path.join(create_directory_if_not_exists(self.export_dir), "failed.txt")
 
-        count = 0
-        encode = self._jitted.setdefault("fn", self._encode_fn())
+        # enumerate all (view_path, study_key) pairs, batch-encode through the
+        # shared shape-bucketed pipeline, then fuse per study
+        items: List[Tuple[str, str]] = []
+        study_paths: List[str] = []
         for _, row in self.dataset.iterrows():
             study_path = row["study_path"]
             try:
                 views = sorted(os.listdir(study_path))[:n_views]
-                vecs = []
-                for view in views:
-                    pixels = decode_png(os.path.join(study_path, view))
-                    vecs.append(np.asarray(encode(jnp.asarray(pixels[None]))[0]))
-                fused = np.asarray(fuse_views(jnp.asarray(np.stack(vecs)), method))
+            except Exception as exc:
+                with open(failed, "a") as fh:
+                    fh.write(str(study_path) + "\n" + str(exc) + "\n\n")
+                continue
+            study_paths.append(study_path)
+            for view in views:
+                view_path = os.path.join(study_path, view)
+                items.append((view_path, f"{study_path}\x00{view_path}"))
+
+        view_vectors: Dict[str, Dict[str, np.ndarray]] = defaultdict(dict)
+
+        def collect(key: str, vec: np.ndarray):
+            study_path, view_path = key.split("\x00")
+            view_vectors[study_path][view_path] = vec
+
+        self.encode_batches(items, collect, failed)
+
+        count = 0
+        for study_path in study_paths:
+            per_view = view_vectors.get(study_path)
+            if not per_view:
+                continue
+            try:
+                stack = np.stack([per_view[k] for k in sorted(per_view)])
+                fused = np.asarray(fuse_views(jnp.asarray(stack), method))
 
                 tail = study_path.split("2D_100micron/")[-1]
                 if os.path.isabs(tail):
