@@ -80,11 +80,22 @@ def _default_corpus() -> List[str]:
     return corpus
 
 
+_DEFAULT_VOCAB: Optional[Dict[str, int]] = None
+
+
+def _default_vocab() -> Dict[str, int]:
+    """The deterministic fallback vocabulary, built once per process."""
+    global _DEFAULT_VOCAB
+    if _DEFAULT_VOCAB is None:
+        _DEFAULT_VOCAB = build_vocab_from_corpus(_default_corpus())
+    return _DEFAULT_VOCAB
+
+
 class WordPieceTokenizer:
     """Greedy longest-match-first WordPiece with [CLS] ... [SEP] framing."""
 
     def __init__(self, vocab: Optional[Dict[str, int]] = None, max_wordpiece_len: int = 32):
-        self.vocab = vocab if vocab is not None else build_vocab_from_corpus(_default_corpus())
+        self.vocab = vocab if vocab is not None else _default_vocab()
         self.ids_to_tokens = {v: k for k, v in self.vocab.items()}
         self.max_wordpiece_len = max_wordpiece_len
 
