@@ -134,13 +134,21 @@ class ClassifierExperiment:
 
     # ------------------------------------------------------------------
     def _pool_tokens(self, tokens: Dict[str, np.ndarray], chunk: int = 256) -> jnp.ndarray:
-        """Run the frozen text tower over all rows once; returns [N, hidden]."""
+        """Run the frozen text tower over all rows once; returns [N, hidden].
+
+        The final chunk is padded to the chunk size so every call shares one
+        compiled program (a ragged tail would trigger a second XLA compile)."""
         n = tokens["input_ids"].shape[0]
         apply = jax.jit(lambda tt: self.model.apply_text_tower(tt))
         outs = []
         for start in range(0, n, chunk):
-            piece = {k: jnp.asarray(v[start : start + chunk]) for k, v in tokens.items()}
-            outs.append(jax.device_get(apply(piece)))
+            piece = {k: np.asarray(v[start : start + chunk]) for k, v in tokens.items()}
+            valid = piece["input_ids"].shape[0]
+            if valid < chunk and n > chunk:
+                pad = chunk - valid
+                piece = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)]) for k, v in piece.items()}
+            out = jax.device_get(apply({k: jnp.asarray(v) for k, v in piece.items()}))
+            outs.append(out[:valid])
         bank = jnp.asarray(np.concatenate(outs, axis=0)) if outs else jnp.zeros((0, self.model.text_output_dimension))
         logger.info(f"Cached frozen text features for {n} rows.")
         return bank
