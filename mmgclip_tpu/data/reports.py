@@ -200,6 +200,10 @@ def extract_report(report: str) -> str:
     return _HEADER_RE.sub("", cleaned)
 
 
+# NOTE: two adjacent string literals below concatenate ("## ##" "ADDENDUM" and
+# the "...pathologie" pair) — reproducing the reference's own missing-comma
+# artifacts (reference: data_utils.py:559-560, 613-614) so the removal set
+# matches byte-for-byte.
 _KEYWORDS_TO_REMOVE = [
     "Medische gegevens:", " Medische gegevens:", "Medische gegevens:   ",
     "-------------------------------------------------Addendum   start---------------------------------------------",
