@@ -71,10 +71,16 @@ class _Encoder:
     ``data`` mesh axis (per-host file sharding composes on top — each host
     simply runs its own extractor over its slice of the file list)."""
 
-    def __init__(self, config, batch_size: int = 32, decode_threads: int = 8):
+    def __init__(self, config, batch_size: int = 32, decode_threads: int = 8, bucket_rounding: int = 0):
         self.config = config
         self.batch_size = int(batch_size)
         self.decode_threads = int(decode_threads)
+        # >0: round image shapes up to multiples of this, encode padded with
+        # masked pooling — bounds the number of shape buckets (and XLA
+        # compilations) when every image has a unique resolution
+        self.bucket_rounding = int(
+            config.get_path("dataset.config.encode_bucket_rounding", bucket_rounding) or bucket_rounding
+        )
         self.module, self.params, self.cn_config = load_convnext_tower(config)
         self._jitted: Dict = {}
 
@@ -102,6 +108,37 @@ class _Encoder:
 
         return encode
 
+    def _masked_encode_fn(self):
+        """Encode with zero-padded inputs + masked average pooling.
+
+        Used by bucket rounding: the tower runs on the padded canvas (fully
+        convolutional), then the pool averages only output pixels whose
+        receptive-field center lies in the valid region.  Border outputs see
+        some padding through conv halos — an approximation traded for far
+        fewer XLA compilations when every mammogram has a unique resolution
+        (see SCALING.md).  valid_hw: [n, 2] valid (H, W) per image."""
+        module, params, in_ch = self.module, self.params, self.cn_config.in_channels
+
+        @jax.jit
+        def encode(pixels_u8, valid_hw):
+            x = intensity_transform(pixels_u8)[..., None]
+            if in_ch > 1:
+                x = jnp.repeat(x, in_ch, axis=-1)
+            fmap = module.apply(params, x, pool=False)  # [n, h', w', C]
+            n, hp, wp, _ = fmap.shape
+            stride = pixels_u8.shape[1] // hp  # total downsampling (32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n, hp, wp), 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n, hp, wp), 2)
+            valid = (rows * stride < valid_hw[:, 0, None, None]) & (
+                cols * stride < valid_hw[:, 1, None, None]
+            )
+            mask = valid.astype(fmap.dtype)[..., None]
+            summed = jnp.sum(fmap * mask, axis=(1, 2))
+            counts = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)
+            return summed / counts
+
+        return encode
+
     def _to_device(self, pixels: np.ndarray):
         """Host batch -> (device array, valid count), padded to shard evenly."""
         n = pixels.shape[0]
@@ -118,7 +155,11 @@ class _Encoder:
         """items: (source_path, export_key).  Decoded on a thread pool,
         bucketed by shape, encoded in jitted batches; ``on_result(key, vec)``
         per image."""
-        encode = self._jitted.setdefault("fn", self._encode_fn())
+        rounding = self.bucket_rounding
+        if rounding:
+            encode = self._jitted.setdefault("masked_fn", self._masked_encode_fn())
+        else:
+            encode = self._jitted.setdefault("fn", self._encode_fn())
         buckets: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = defaultdict(list)
 
         from concurrent.futures import ThreadPoolExecutor
@@ -127,11 +168,27 @@ class _Encoder:
             bucket = buckets.pop(shape)
             for start in range(0, len(bucket), self.batch_size):
                 chunk = bucket[start : start + self.batch_size]
-                pixels = np.stack([arr for _k, arr in chunk])
-                device_pixels, valid = self._to_device(pixels)
-                feats = np.asarray(encode(device_pixels))[:valid]
+                if rounding:
+                    valid_hw = np.asarray([arr.shape[:2] for _k, arr in chunk], np.int32)
+                    pixels = np.zeros((len(chunk), *shape), chunk[0][1].dtype)
+                    for i, (_k, arr) in enumerate(chunk):
+                        pixels[i, : arr.shape[0], : arr.shape[1]] = arr
+                    device_pixels, valid = self._to_device(pixels)
+                    pad = device_pixels.shape[0] - len(chunk)
+                    if pad:
+                        valid_hw = np.concatenate([valid_hw, np.ones((pad, 2), np.int32)])
+                    feats = np.asarray(encode(device_pixels, jnp.asarray(valid_hw)))[:valid]
+                else:
+                    pixels = np.stack([arr for _k, arr in chunk])
+                    device_pixels, valid = self._to_device(pixels)
+                    feats = np.asarray(encode(device_pixels))[:valid]
                 for (key, _), vec in zip(chunk, feats):
                     on_result(key, vec)
+
+        def bucket_shape(pixels):
+            if not rounding:
+                return pixels.shape[:2]
+            return tuple(-(-dim // rounding) * rounding for dim in pixels.shape[:2])
 
         with ThreadPoolExecutor(max_workers=self.decode_threads) as pool:
             decoded = pool.map(
@@ -140,7 +197,7 @@ class _Encoder:
             for (src, key), pixels in decoded:
                 if pixels is None:
                     continue
-                shape = pixels.shape[:2]
+                shape = bucket_shape(pixels)
                 buckets[shape].append((key, pixels))
                 if len(buckets[shape]) >= self.batch_size:
                     flush(shape)

@@ -78,3 +78,44 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_bucket_rounding_encode(tmp_path):
+    """Ragged image sizes collapse into rounded buckets; masked pooling
+    matches the exact-shape encode for an unpadded image."""
+    import numpy as np
+    import pandas as pd
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+
+    CONFIG_DIR = os.path.join(REPO, "configs")
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.base.features_export_dir = str(tmp_path / "enc")
+    cfg.dataset.config.encode_bucket_rounding = 64
+
+    # ragged sizes: 50x60, 62x44, 64x64 -> buckets (64,64)
+    paths = []
+    rng = np.random.default_rng(0)
+    for i, (h, w) in enumerate([(50, 60), (62, 44), (64, 64)]):
+        from PIL import Image
+
+        p = str(tmp_path / f"r{i}.png")
+        Image.fromarray(rng.integers(0, 256, (h, w), dtype=np.uint8), mode="L").save(p)
+        paths.append(p)
+    df = pd.DataFrame({"image_path": paths})
+
+    extractor = ImageFeatureExtractor(config=cfg, dataset=df, batch_size=4)
+    assert extractor.bucket_rounding == 64
+    count = extractor.extract()
+    assert count == 3
+
+    # the already-aligned 64x64 image must match the exact (unmasked) encode
+    import jax.numpy as jnp
+
+    from mmgclip_tpu.ingest.png_reader import decode_png
+
+    exact = np.asarray(extractor._encode_fn()(jnp.asarray(decode_png(paths[2])[None])))
+    feats = np.load(os.path.join(str(tmp_path / "enc"), *paths[2].strip(os.sep).split(os.sep)[-4:]).replace(".png", ".npy"))
+    np.testing.assert_allclose(feats.reshape(1, -1), exact, atol=1e-4)
