@@ -228,13 +228,22 @@ class ClassifierExperiment:
             else None
         )
 
+        batch_sharding = self._batch_sharding
+
         def epoch_fn(params, opt_state, feats_bank, text_bank, text2_bank, batch_idx, rng):
             def step(carry, idx):
                 params, opt_state, rng = carry
                 rng, step_key = jax.random.split(rng)
-                text2 = None if text2_bank is None else text2_bank[idx]
+                # constrain the gathered batch onto the data axis so the step
+                # runs data-parallel (banks are replicated; without this the
+                # whole epoch would stay replicated too)
+                feats = jax.lax.with_sharding_constraint(feats_bank[idx], batch_sharding)
+                text = jax.lax.with_sharding_constraint(text_bank[idx], batch_sharding)
+                text2 = None
+                if text2_bank is not None:
+                    text2 = jax.lax.with_sharding_constraint(text2_bank[idx], batch_sharding)
                 params, opt_state, loss = self._train_step_impl(
-                    params, opt_state, feats_bank[idx], text_bank[idx], text2, step_key
+                    params, opt_state, feats, text, text2, step_key
                 )
                 return (params, opt_state, rng), loss
 
