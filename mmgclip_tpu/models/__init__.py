@@ -1,5 +1,6 @@
 from .bert import BertConfig, BertEncoder, eos_pool, init_bert, load_hf_weights
 from .clip import MMGCLIP, PromptClassifier, l2_normalize
+from .gpt import CausalTextEncoder, GPTConfig, init_gpt, load_biogpt_weights
 from .convnext import ConvNeXt, ConvNeXtConfig, init_convnext, load_torchvision_weights
 from .projections import (
     LinearProjectionLayer,
@@ -19,6 +20,10 @@ __all__ = [
     "MMGCLIP",
     "PromptClassifier",
     "l2_normalize",
+    "CausalTextEncoder",
+    "GPTConfig",
+    "init_gpt",
+    "load_biogpt_weights",
     "ConvNeXt",
     "ConvNeXtConfig",
     "init_convnext",

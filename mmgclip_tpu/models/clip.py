@@ -70,9 +70,27 @@ class MMGCLIP:
         self.image_encoder_name = image_encoder_name
         self.image_features_dimension = int(config.networks.image_encoder.image_features_dimension)
 
-        # --- text tower (frozen BERT) ---------------------------------
-        self.bert_config = _bert_config_from(config, vocab_size)
-        self.text_module = BertEncoder(self.bert_config)
+        # --- text tower (frozen; BERT-family or causal/BioGPT-family) ----
+        text_encoder_name = str(config.get_path("networks.text_encoder.name", "BertEncoder"))
+        if text_encoder_name in ("CausalTextEncoder", "BioGptEncoder", "GPTEncoder"):
+            from .gpt import CausalTextEncoder, GPTConfig
+
+            overrides = config.get_path("networks.text_encoder.config", {}) or {}
+            kwargs = {
+                k: int(overrides[k])
+                for k in (
+                    "vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size", "max_position_embeddings",
+                )
+                if k in overrides
+            }
+            if vocab_size is not None and "vocab_size" not in kwargs:
+                kwargs["vocab_size"] = int(vocab_size)
+            self.bert_config = GPTConfig(**kwargs)
+            self.text_module = CausalTextEncoder(self.bert_config)
+        else:
+            self.bert_config = _bert_config_from(config, vocab_size)
+            self.text_module = BertEncoder(self.bert_config)
         dummy_tokens = jnp.zeros((1, 8), jnp.int32)
         self.text_variables = jax.jit(self.text_module.init)(jax.random.key(seed), dummy_tokens)
         self.text_output_dimension = self.bert_config.hidden_size

@@ -263,3 +263,25 @@ def test_pallas_depthwise_conv_matches_lax():
     k3 = jnp.ones((7, 7, 1, 96))
     out3 = depthwise_conv7x7(x3, k3)
     assert out3.shape == (1, 8, 8, 96)
+
+
+def test_mmgclip_with_causal_text_tower():
+    """The BioGPT-family ablation tower plugs into the CLIP head
+    (reference text-encoder ablation: BASELINE.md; configs/tokenizer/biogpt.yaml)."""
+    cfg = tiny_config()
+    cfg.networks.text_encoder = Config(
+        {
+            "name": "CausalTextEncoder",
+            "config": {
+                "vocab_size": 512, "hidden_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "intermediate_size": 128,
+                "max_position_embeddings": 64,
+            },
+        }
+    )
+    tok = Tokenizer.from_pretrained("wordpiece-test", sequence_length=32)
+    model = MMGCLIP(cfg, seed=0, vocab_size=tok.vocab_size)
+    batch = _batch(cfg, tok)
+    out = model.forward(model.trainable_params, batch)
+    assert out["logits_per_image"].shape == (4, 4)
+    assert np.isfinite(np.asarray(out["logits_per_image"])).all()

@@ -138,3 +138,38 @@ def test_convnext_matches_transformers_convnext():
     # pooled features match mean over spatial dims
     pooled = np.asarray(module.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(pooled, theirs.mean(axis=(2, 3)), atol=3e-4)
+
+
+def test_gpt_tower_matches_transformers_biogpt():
+    from mmgclip_tpu.models.gpt import GPTConfig, init_gpt, load_biogpt_weights
+
+    hf_config = transformers.BioGptConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0, activation_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.BioGptModel(hf_config).eval()
+
+    config = GPTConfig(
+        vocab_size=256, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, max_position_embeddings=64,
+    )
+    module, params = init_gpt(config)
+    params = load_biogpt_weights(params, hf_model.state_dict(), config)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 256, size=(2, 12))
+    mask = np.ones((2, 12), np.int64)
+    mask[1, 9:] = 0
+
+    with torch.no_grad():
+        theirs = hf_model(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+    ours = np.asarray(
+        module.apply(params, jnp.asarray(ids, jnp.int32), attention_mask=jnp.asarray(mask, jnp.int32))
+    )
+    for b in range(2):
+        valid = int(mask[b].sum())
+        np.testing.assert_allclose(ours[b, :valid], theirs[b, :valid], atol=3e-4)
