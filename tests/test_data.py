@@ -196,3 +196,30 @@ def test_create_dataset_path_finds_npy(tmp_path):
     df = create_dataset_path(os.path.join(str(tmp_path), "features", "0/02"))
     assert len(df) == 12
     assert df["image_path"].str.endswith(".npy").all()
+
+
+@pytest.mark.parametrize(
+    "enums_class,search_col,expected_values",
+    [
+        ("HasMassLabels", "has_mass", {"mass", "no mass"}),
+        ("HasCalcification", "has_calc", {"has calcification", "negative"}),
+        ("HasArchDistortion", "has_architectural_distortion",
+         {"displayed architectural distortion", "no architectural distortion"}),
+        ("MassShapeLabels", "mass_shape", {"unknown", "oval", "irregular"}),
+        ("MassMarginLabels", "mass_margin", {"unknown", "circumscribed", "spiculated"}),
+    ],
+)
+def test_image_label_dataset_all_enum_configs(tmp_path, enums_class, search_col, expected_values):
+    """Every label-family configuration builds a valid supervision column
+    (reference configs: dataset/binary-label.yaml, dataset/multi-label.yaml)."""
+    cfg = _image_label_config(
+        tmp_path,
+        **{
+            "dataset.config.enums_class": enums_class,
+            "dataset.config.search_col": search_col,
+        },
+    )
+    ds = get_dataset(cfg.dataset.name)(config=cfg, data_folder="0/02")
+    values = set(ds.dataset_pth[ds.new_col])
+    assert values <= expected_values, values
+    assert len(values) >= 1
