@@ -164,26 +164,40 @@ class _Encoder:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        # one-deep device pipeline: jax dispatch is async, so the device
+        # computes batch N+1 while the host converts/writes batch N
+        pending: List = []  # [(chunk, device_result)]
+
+        def drain():
+            while pending:
+                chunk, result, valid = pending.pop(0)
+                feats = np.asarray(result)[:valid]
+                for (key, _), vec in zip(chunk, feats):
+                    on_result(key, vec)
+
+        def submit(chunk, shape):
+            if rounding:
+                valid_hw = np.asarray([arr.shape[:2] for _k, arr in chunk], np.int32)
+                pixels = np.zeros((len(chunk), *shape), chunk[0][1].dtype)
+                for i, (_k, arr) in enumerate(chunk):
+                    pixels[i, : arr.shape[0], : arr.shape[1]] = arr
+                device_pixels, valid = self._to_device(pixels)
+                pad = device_pixels.shape[0] - len(chunk)
+                if pad:
+                    valid_hw = np.concatenate([valid_hw, np.ones((pad, 2), np.int32)])
+                result = encode(device_pixels, jnp.asarray(valid_hw))
+            else:
+                pixels = np.stack([arr for _k, arr in chunk])
+                device_pixels, valid = self._to_device(pixels)
+                result = encode(device_pixels)
+            if pending:
+                drain()  # convert the previous batch while this one runs
+            pending.append((chunk, result, valid))
+
         def flush(shape):
             bucket = buckets.pop(shape)
             for start in range(0, len(bucket), self.batch_size):
-                chunk = bucket[start : start + self.batch_size]
-                if rounding:
-                    valid_hw = np.asarray([arr.shape[:2] for _k, arr in chunk], np.int32)
-                    pixels = np.zeros((len(chunk), *shape), chunk[0][1].dtype)
-                    for i, (_k, arr) in enumerate(chunk):
-                        pixels[i, : arr.shape[0], : arr.shape[1]] = arr
-                    device_pixels, valid = self._to_device(pixels)
-                    pad = device_pixels.shape[0] - len(chunk)
-                    if pad:
-                        valid_hw = np.concatenate([valid_hw, np.ones((pad, 2), np.int32)])
-                    feats = np.asarray(encode(device_pixels, jnp.asarray(valid_hw)))[:valid]
-                else:
-                    pixels = np.stack([arr for _k, arr in chunk])
-                    device_pixels, valid = self._to_device(pixels)
-                    feats = np.asarray(encode(device_pixels))[:valid]
-                for (key, _), vec in zip(chunk, feats):
-                    on_result(key, vec)
+                submit(bucket[start : start + self.batch_size], shape)
 
         def bucket_shape(pixels):
             if not rounding:
@@ -203,6 +217,7 @@ class _Encoder:
                     flush(shape)
         for shape in list(buckets):
             flush(shape)
+        drain()
 
     @staticmethod
     def _safe_decode(path: str, failed_path: str) -> Optional[np.ndarray]:
