@@ -24,6 +24,9 @@ class ResNetConfig:
     stage_sizes: Tuple[int, ...] = (3, 4, 6, 3)
     width: int = 64
     dtype: Any = jnp.float32
+    # rematerialize bottleneck activations in the backward pass
+    # (jax.checkpoint): trades recompute for memory when layer4 trains
+    remat: bool = True
 
     @staticmethod
     def resnet50() -> "ResNetConfig":
@@ -73,11 +76,12 @@ class ResNet50Encoder(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if cfg.remat else Bottleneck
         for stage, num_blocks in enumerate(cfg.stage_sizes):
             features = cfg.width * (2**stage)
             for block in range(num_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = Bottleneck(features, strides, cfg.dtype, name=f"layer{stage + 1}_block{block}")(x, train)
+                x = block_cls(features, strides, cfg.dtype, name=f"layer{stage + 1}_block{block}")(x, train)
         return jnp.mean(x, axis=(1, 2))
 
 
