@@ -3,6 +3,7 @@ from .encode import (
     StudyFeatureExtractor,
     image_feature_extractor,
     load_convnext_tower,
+    shard_items_for_host,
     study_feature_extractor,
 )
 from .png_reader import decode_png
@@ -13,5 +14,6 @@ __all__ = [
     "image_feature_extractor",
     "study_feature_extractor",
     "load_convnext_tower",
+    "shard_items_for_host",
     "decode_png",
 ]

@@ -36,6 +36,19 @@ from ..utils.seeding import create_directory_if_not_exists
 from .png_reader import decode_png
 
 
+def shard_items_for_host(items, process_index: Optional[int] = None, process_count: Optional[int] = None):
+    """Deterministic per-host slice of the work list (multi-host ingest).
+
+    Each host walks the same sorted file list and takes every k-th item —
+    ingest scales with hosts independently of chips (SCALING.md).  Defaults
+    to this process's position in the jax runtime."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return [item for i, item in enumerate(items) if i % process_count == process_index]
+
+
 def load_convnext_tower(config, seed: int = 0):
     """Build the ConvNeXt-Tiny tower, loading converted weights when present.
 
@@ -250,6 +263,7 @@ class ImageFeatureExtractor(_Encoder):
         logger.info(f"Extracting features into {self.export_dir}.")
         failed = os.path.join(self.export_dir, "failed.txt")
         items = [(row["image_path"], self._export_path(row["image_path"])) for _, row in self.dataset.iterrows()]
+        items = shard_items_for_host(items)
         count = 0
 
         def save(key: str, vec: np.ndarray):

@@ -119,3 +119,14 @@ def test_bucket_rounding_encode(tmp_path):
     exact = np.asarray(extractor._encode_fn()(jnp.asarray(decode_png(paths[2])[None])))
     feats = np.load(os.path.join(str(tmp_path / "enc"), *paths[2].strip(os.sep).split(os.sep)[-4:]).replace(".png", ".npy"))
     np.testing.assert_allclose(feats.reshape(1, -1), exact, atol=1e-4)
+
+
+def test_shard_items_for_host():
+    from mmgclip_tpu.ingest import shard_items_for_host
+
+    items = list(range(10))
+    shards = [shard_items_for_host(items, process_index=i, process_count=3) for i in range(3)]
+    assert sorted(sum(shards, [])) == items  # complete, disjoint partition
+    assert all(len(s) in (3, 4) for s in shards)
+    # single-process default covers everything
+    assert shard_items_for_host(items) == items
