@@ -17,11 +17,8 @@ transfer, one forward, one device->host copy, one file write
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from collections import defaultdict
-from functools import partial
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
