@@ -173,3 +173,48 @@ def test_gpt_tower_matches_transformers_biogpt():
     for b in range(2):
         valid = int(mask[b].sum())
         np.testing.assert_allclose(ours[b, :valid], theirs[b, :valid], atol=3e-4)
+
+
+def test_convnext_npz_artifact_roundtrip(tmp_path):
+    """The production weight path: torch state dict -> converter -> serialized
+    .npz -> load_convnext_tower -> features match the torch oracle."""
+    from flax import serialization
+
+    from mmgclip_tpu.config import Config
+    from mmgclip_tpu.ingest.encode import load_convnext_tower
+
+    depths, dims = (1, 1, 2, 1), (8, 16, 32, 768)
+    hf_config = transformers.ConvNextConfig(
+        num_channels=1, hidden_sizes=list(dims), depths=list(depths), drop_path_rate=0.0
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.ConvNextModel(hf_config).eval()
+
+    config = ConvNeXtConfig(depths=depths, dims=dims, num_classes=2, in_channels=1)
+    module, params = init_convnext(config, image_size=32)
+    mapped = _hf_convnext_to_torchvision_names(hf_model.state_dict(), depths)
+    params = load_torchvision_weights(params, mapped, config)
+
+    artifact = tmp_path / "clf.npz"
+    artifact.write_bytes(serialization.to_bytes(jax.device_get(params)))
+
+    cfg = Config(
+        {
+            "networks": {
+                "image_encoder": {
+                    "name": "ConvNextTiny",
+                    "convnext_tiny_clf_path": str(artifact),
+                    "image_features_dimension": 768,
+                    "config": {"micro": True, "in_channels": 1},
+                }
+            }
+        }
+    )
+    loaded_module, loaded_params, _cn = load_convnext_tower(cfg)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 32, 32, 1)).astype(np.float32)
+    ours = np.asarray(loaded_module.apply(loaded_params, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, theirs.mean(axis=(2, 3)), atol=3e-4)
