@@ -96,3 +96,26 @@ def test_serve_cli_once(experiment):
     assert response["id"] == 1
     assert "result" in response
     assert response["result"]["class_list"] == ["benign", "malignant"]
+
+
+def test_serve_cli_stdin_loop(experiment):
+    """The JSONL loop handles multiple requests and bad input gracefully."""
+    run_dir, png, _ = experiment
+    requests = "\n".join(
+        [
+            json.dumps({"op": "ping", "id": 1}),
+            json.dumps({"op": "nope", "id": 2}),  # unknown op -> error response
+            json.dumps({"op": "classify", "paths": [png], "class_list": ["a", "b"], "id": 3}),
+        ]
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "serve.py"), "--experiment_path", run_dir],
+        input=requests, capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    responses = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    by_id = {r["id"]: r for r in responses}
+    assert by_id[1]["result"] == {"ok": True}
+    assert "error" in by_id[2] and "nope" in by_id[2]["error"]
+    assert by_id[3]["result"]["similarities_argmax"][0] in (0, 1)
