@@ -73,9 +73,10 @@ def assign_similarity_labels(cosine_sim, threshold: float = 0.65):
     Reproduces the reference's sequential assignment
     (reference: losses.py:121-162): scanning rows in order, an unlabeled row
     becomes a new cluster leader and claims every later unlabeled row whose
-    similarity meets the threshold.  Labels are leader indices (renumbered to
-    dense 0..k-1 ordering is unnecessary for CE correctness; the reference's
-    `set()` ordering was itself arbitrary).
+    similarity meets the threshold.  Labels are dense 0..k-1 in leader scan
+    order, exactly as the reference's ``current_label`` counter produces —
+    the dense values matter because the forward CE indexes columns of the
+    full [n, n] text-logit matrix with them (reference: losses.py:211-214).
     """
     n = cosine_sim.shape[0]
     init_labels = jnp.full((n,), -1, jnp.int32)
@@ -86,8 +87,12 @@ def assign_similarity_labels(cosine_sim, threshold: float = 0.65):
         labels = jax.lax.cond(is_leader, lambda l: l.at[i].set(i), lambda l: l, labels)
         return labels, None
 
-    labels, _ = jax.lax.scan(step, init_labels, jnp.arange(n))
-    return labels
+    leader_idx, _ = jax.lax.scan(step, init_labels, jnp.arange(n))
+    # leader -> dense rank: a row is a leader iff labeled with its own index;
+    # cumsum over leader flags gives each leader its 0-based discovery rank
+    is_leader = leader_idx == jnp.arange(n)
+    dense_of_row = jnp.cumsum(is_leader.astype(jnp.int32)) - 1  # valid at leader rows
+    return dense_of_row[leader_idx]
 
 
 def average_logits_by_label(logits, labels):

@@ -78,12 +78,9 @@ def test_assign_labels_matches_reference_greedy():
         np.fill_diagonal(sim, 1.0)
         ours = np.asarray(assign_similarity_labels(jnp.asarray(sim, jnp.float32), 0.65))
         ref = _greedy_reference_labels(sim, 0.65)
-        # our labels are leader indices, the reference renumbers 0..k-1;
-        # they must induce the same partition
-        assert len(set(ours)) == len(set(ref))
-        for a in range(12):
-            for b in range(12):
-                assert (ours[a] == ours[b]) == (ref[a] == ref[b]), (a, b)
+        # dense 0..k-1 values must match the reference exactly — the forward
+        # CE indexes full text-logit columns with them
+        np.testing.assert_array_equal(ours, ref)
 
 
 def test_assign_labels_docstring_example():
@@ -126,6 +123,57 @@ def test_averaged_medical_clip_loss_runs_under_jit():
     # gradient flows
     grad = jax.grad(lambda e: averaged_medical_clip_loss(img, e, scale, scale * img @ e.T, scale * e @ img.T)[0])(txt)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def _reference_averaged_loss(img, txt, scale, threshold=0.65):
+    """Numpy re-implementation of the reference forward
+    (reference: losses.py:188-216): cos_sim -> greedy labels -> per-cluster
+    column means iterated in ``set(labels)`` order (for dense small ints,
+    CPython set iteration is increasing, i.e. dense order) -> symmetric CE,
+    with the text term indexing the FULL [n, n] text-logit matrix by the
+    dense labels."""
+    img, txt = np.asarray(img, np.float64), np.asarray(txt, np.float64)
+    lpi = scale * img @ txt.T
+    lpt = scale * txt @ img.T
+    norm = np.maximum(np.linalg.norm(txt, axis=1, keepdims=True), 1e-12)
+    sim = (txt / norm) @ (txt / norm).T
+    labels = _greedy_reference_labels(sim, threshold)
+    uniq = sorted(set(labels))  # == set-iteration order for dense non-negative ints
+    averaged = np.stack(
+        [lpi[:, [i for i, l in enumerate(labels) if l == u]].mean(1) for u in uniq], axis=1
+    )
+    labels = np.asarray(labels)
+    return (_torch_style_ce(averaged, labels) + _torch_style_ce(lpt, labels)) / 2
+
+
+def test_averaged_loss_value_equals_reference_oracle():
+    """Loss-VALUE equality on 100 random batches, with forced duplicate
+    clusters (exact duplicates + near-duplicates + unique rows)."""
+    rng = np.random.default_rng(7)
+    scale = float(np.exp(np.log(1 / 0.07)))
+    fn = jax.jit(averaged_medical_clip_loss)
+    for trial in range(100):
+        n = int(rng.integers(2, 13))
+        txt = rng.normal(size=(n, 16))
+        # duplicate a random subset of rows onto earlier rows to force clusters
+        for j in range(1, n):
+            if rng.uniform() < 0.4:
+                src = int(rng.integers(0, j))
+                txt[j] = txt[src] + (rng.normal(size=16) * 1e-3 if rng.uniform() < 0.5 else 0.0)
+        img = rng.normal(size=(n, 16))
+        lpi = scale * img @ txt.T
+        lpt = scale * txt @ img.T
+        loss, labels = fn(
+            jnp.asarray(img, jnp.float32), jnp.asarray(txt, jnp.float32),
+            jnp.asarray(scale, jnp.float32),
+            jnp.asarray(lpi, jnp.float32), jnp.asarray(lpt, jnp.float32),
+        )
+        expected = _reference_averaged_loss(img, txt, scale)
+        np.testing.assert_allclose(float(loss), expected, rtol=2e-4, atol=1e-5, err_msg=f"trial {trial}")
+        sim = np.asarray(txt) / np.linalg.norm(txt, axis=1, keepdims=True)
+        np.testing.assert_array_equal(
+            np.asarray(labels), _greedy_reference_labels(sim @ sim.T, 0.65), err_msg=f"trial {trial}"
+        )
 
 
 def test_create_loss_registry():
