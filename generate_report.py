@@ -60,13 +60,26 @@ def encode_inputs(cfg, image_id=None, exam_id=None):
     return fused
 
 
-def generate_report(decisions, rng=None):
+def generate_report(decisions, rng=None, bug_compat=True):
     """Assemble the report from cascade decision indices
     (reference: generate_report.py:181-372).  Returns (text, report_dict).
 
     ``decisions`` comes from mmgclip_tpu.evaluation.report_cascade.decide —
     the whole decision tree is evaluated in ONE jitted device call; this
-    function only does host-side template assembly on integer indices."""
+    function only does host-side template assembly on integer indices.
+
+    ``bug_compat`` (default ON — the parity gate is *identical* generated
+    reports) reproduces two quirks of the reference cascade verbatim:
+
+    1. The calc-distribution sentence is selected with the MASS-TYPE argmax,
+       not the distribution argmax (reference: generate_report.py:315
+       ``class_list[int(clf_mass_type['similarities_argmax'])]``), which on
+       the calc branch is always index 1 -> "regional".
+    2. The architectural-distortion template key is inverted: argmax==1
+       ("no evidence") keys the distortion-PRESENT gtr bank and vice versa
+       (reference: generate_report.py:366-367).
+
+    ``bug_compat=False`` uses the semantically correct mappings."""
     report = {
         "mass_type": None, "mass_malignancy": None, "mass_shape": None, "mass_margin": None,
         "calc_malignancy": None, "calc_distribution": None, "arch_distortion": None, "birads": None,
@@ -111,7 +124,10 @@ def generate_report(decisions, rng=None):
         if top_idx == 1:  # calcification branch
             malig_idx = decisions["calc_malignancy"]
             report["calc_malignancy"] = BANKS["calc_malignancy"][malig_idx]
-            report["calc_distribution"] = BANKS["calc_distribution"][decisions["calc_distribution"]]
+            # bug-compat: reference indexes the distribution bank with the
+            # mass-type argmax (always 1 on this branch -> "regional")
+            dist_idx = top_idx if bug_compat else decisions["calc_distribution"]
+            report["calc_distribution"] = BANKS["calc_distribution"][dist_idx]
             birads_bank = "birads_benign" if malig_idx == 0 else "birads_malignant"
             report["birads"] = BANKS[birads_bank][decisions[birads_bank]]
 
@@ -131,9 +147,11 @@ def generate_report(decisions, rng=None):
 
         arch_idx = decisions["arch_distortion"]
         report["arch_distortion"] = BANKS["arch_distortion"][arch_idx]
-        # index 0 is "displayed architectural distortion"
+        # index 0 is "displayed architectural distortion"; bug-compat keys the
+        # banks inverted, exactly like the reference
+        key_true = (arch_idx == 1) if bug_compat else (arch_idx == 0)
         report["arch_dist_report"] = mmgclip_tpu.generate_gtr_prompt_sentence(
-            "gtr_is_architectural_distortion:True" if arch_idx == 0 else "gtr_is_architectural_distortion:False",
+            "gtr_is_architectural_distortion:True" if key_true else "gtr_is_architectural_distortion:False",
             n=1, rng=rng,
         )
 
@@ -180,7 +198,8 @@ def main() -> None:
     from mmgclip_tpu.evaluation.report_cascade import decide
 
     decisions = decide(model, state["params"], tokenizer, image_embeddings)
-    text, _report = generate_report(decisions, rng=rngs.host)
+    bug_compat = bool(cfg.get_path("generate_report.bug_compat", True))
+    text, _report = generate_report(decisions, rng=rngs.host, bug_compat=bug_compat)
     print("Generated Report: ", text)
 
 

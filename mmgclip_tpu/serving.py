@@ -132,13 +132,17 @@ class InferenceEngine:
             out.append({name: int(getattr(decisions, name)) for name in BANK_ORDER})
         return out
 
-    def generate_reports(self, features: np.ndarray, seed: int = 42) -> List[str]:
+    def generate_reports(
+        self, features: np.ndarray, seed: int = 42, bug_compat: bool = True
+    ) -> List[str]:
         import importlib
 
         gr = importlib.import_module("generate_report")
         texts = []
         for decisions in self.cascade_decisions(features):
-            texts.append(gr.generate_report(decisions, rng=random.Random(seed))[0])
+            texts.append(
+                gr.generate_report(decisions, rng=random.Random(seed), bug_compat=bug_compat)[0]
+            )
         return texts
 
     @classmethod

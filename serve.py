@@ -49,7 +49,11 @@ def handle(engine: InferenceEngine, request: dict) -> dict:
             feats = np.asarray(request["features"], np.float32)
         else:
             feats = engine.encode_paths(request["paths"])
-        reports = engine.generate_reports(feats, seed=int(request.get("seed", 42)))
+        reports = engine.generate_reports(
+            feats,
+            seed=int(request.get("seed", 42)),
+            bug_compat=bool(request.get("bug_compat", True)),
+        )
         return {"reports": reports}
     raise ValueError(f"Unknown op {op!r}")
 
