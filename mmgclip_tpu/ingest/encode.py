@@ -119,33 +119,34 @@ class _Encoder:
         return encode
 
     def _masked_encode_fn(self):
-        """Encode with zero-padded inputs + masked average pooling.
+        """Encode zero-padded canvases EXACTLY as if each image ran at its
+        own shape.
 
-        Used by bucket rounding: the tower runs on the padded canvas (fully
-        convolutional), then the pool averages only output pixels whose
-        receptive-field center lies in the valid region.  Border outputs see
-        some padding through conv halos — an approximation traded for far
-        fewer XLA compilations when every mammogram has a unique resolution
-        (see SCALING.md).  valid_hw: [n, 2] valid (H, W) per image."""
+        Used by bucket rounding: rounding shapes up to a shared canvas bounds
+        the number of XLA compilations when every mammogram has a unique
+        resolution (see SCALING.md).  The tower (models/convnext.py
+        ``valid_hw`` path) re-zeroes the pad region at every spatial-mixing
+        boundary, making the canvas padding indistinguishable from the SAME
+        padding an exact-shape run injects — features match the per-shape
+        encode to float tolerance (tests/test_bucket_rounding.py).
+        valid_hw: [n, 2] valid (H, W) per image."""
         module, params, in_ch = self.module, self.params, self.cn_config.in_channels
 
         @jax.jit
         def encode(pixels_u8, valid_hw):
             x = intensity_transform(pixels_u8)[..., None]
+            # zero the pad region AFTER the transform: raw uint8 zeros map to
+            # -1.0 (a strong signal); the exact-shape run has no pixels there
+            n, height, width = pixels_u8.shape[:3]
+            rows_px = jax.lax.broadcasted_iota(jnp.int32, (n, height, width), 1)
+            cols_px = jax.lax.broadcasted_iota(jnp.int32, (n, height, width), 2)
+            pixel_valid = (rows_px < valid_hw[:, 0, None, None]) & (
+                cols_px < valid_hw[:, 1, None, None]
+            )
+            x = x * pixel_valid.astype(x.dtype)[..., None]
             if in_ch > 1:
                 x = jnp.repeat(x, in_ch, axis=-1)
-            fmap = module.apply(params, x, pool=False)  # [n, h', w', C]
-            n, hp, wp, _ = fmap.shape
-            stride = pixels_u8.shape[1] // hp  # total downsampling (32)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (n, hp, wp), 1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (n, hp, wp), 2)
-            valid = (rows * stride < valid_hw[:, 0, None, None]) & (
-                cols * stride < valid_hw[:, 1, None, None]
-            )
-            mask = valid.astype(fmap.dtype)[..., None]
-            summed = jnp.sum(fmap * mask, axis=(1, 2))
-            counts = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)
-            return summed / counts
+            return module.apply(params, x, valid_hw=valid_hw)
 
         return encode
 

@@ -56,6 +56,15 @@ def _layer_norm(x, scale, bias, eps=1e-6):
     return (x - mean) * inv * scale + bias
 
 
+def _valid_mask(x, valid_hw):
+    """[n,1] broadcastable {0,1} mask of rows/cols < per-image valid (h, w)."""
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+    mask = (rows < valid_hw[:, 0, None, None]) & (cols < valid_hw[:, 1, None, None])
+    return mask[..., None].astype(x.dtype)
+
+
 class ConvNeXtStage(nn.Module):
     """`depth` residual blocks with stacked params, scanned over depth."""
 
@@ -67,7 +76,7 @@ class ConvNeXtStage(nn.Module):
     use_pallas_dwconv: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         d = self.dim
         lecun = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
@@ -108,7 +117,12 @@ class ConvNeXtStage(nn.Module):
             y = jnp.einsum("bhwc,cf->bhwf", y, p["pwconv1_kernel"].astype(dtype)) + p["pwconv1_bias"].astype(dtype)
             y = nn.gelu(y, approximate=False)
             y = jnp.einsum("bhwf,fc->bhwc", y, p["pwconv2_kernel"].astype(dtype)) + p["pwconv2_bias"].astype(dtype)
-            return residual + p["gamma"].astype(dtype) * y, None
+            out = residual + p["gamma"].astype(dtype) * y
+            if mask is not None:
+                # re-zero the pad region so the NEXT dwconv's halo sees the
+                # exact zeros SAME padding injects in an exact-shape run
+                out = out * mask
+            return out, None
 
         x, _ = jax.lax.scan(block, x.astype(dtype), stacked, unroll=self.unroll)
         return x
@@ -120,21 +134,54 @@ class ConvNeXt(nn.Module):
     config: ConvNeXtConfig
 
     @nn.compact
-    def __call__(self, x, pool: bool = True, classify: bool = False):
+    def __call__(self, x, pool: bool = True, classify: bool = False, valid_hw=None):
+        """``valid_hw`` ([n, 2] int32, pixel space) enables shape-bucketed
+        EXACT encoding: images zero-padded onto a shared canvas produce the
+        same features as an exact-shape run, because the pad region is
+        re-zeroed at every spatial-mixing boundary (each dwconv block, each
+        downsample conv) — making the canvas zeros indistinguishable from
+        the SAME padding the convs inject at true borders — and pooling
+        averages only the ceil-chain valid cells.  One compiled program per
+        bucket instead of one per unique mammogram resolution."""
         cfg = self.config
+
+        def br_pad(h, w, s):
+            # bottom/right-only padding (== SAME at multiple-of-s sizes).
+            # lax SAME splits the pad top/bottom, shifting the conv origin at
+            # non-multiple sizes; anchoring at (0,0) keeps canvas runs and
+            # exact-shape runs cell-aligned so bucketed encode stays exact.
+            return ((0, (-h) % s), (0, (-w) % s))
+
         # stem: 4x4/4 conv + LN (channels-last)
-        x = nn.Conv(cfg.dims[0], kernel_size=(4, 4), strides=(4, 4), name="stem_conv", dtype=cfg.dtype)(x)
+        x = nn.Conv(cfg.dims[0], kernel_size=(4, 4), strides=(4, 4), name="stem_conv",
+                    padding=br_pad(x.shape[1], x.shape[2], 4), dtype=cfg.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+        if valid_hw is not None:
+            valid_hw = -(-valid_hw // 4)  # ceil: SAME-padded stride-4 stem
+            x = x * _valid_mask(x, valid_hw)
 
         for stage, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
             if stage > 0:
                 x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_{stage}_norm")(x)
-                x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), name=f"downsample_{stage}_conv", dtype=cfg.dtype)(x)
-            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, name=f"stage_{stage}")(x)
+                if valid_hw is not None:
+                    # LN(0) is nonzero; re-zero so the strided conv's SAME
+                    # boundary window matches the exact-shape run
+                    x = x * _valid_mask(x, valid_hw)
+                x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), name=f"downsample_{stage}_conv",
+                            padding=br_pad(x.shape[1], x.shape[2], 2), dtype=cfg.dtype)(x)
+                if valid_hw is not None:
+                    valid_hw = -(-valid_hw // 2)
+                    x = x * _valid_mask(x, valid_hw)
+            mask = None if valid_hw is None else _valid_mask(x, valid_hw)
+            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, name=f"stage_{stage}")(x, mask)
 
         if not pool:
             return x
-        pooled = jnp.mean(x, axis=(1, 2))  # global average pool -> [b, dims[-1]]
+        if valid_hw is None:
+            pooled = jnp.mean(x, axis=(1, 2))  # global average pool -> [b, dims[-1]]
+        else:
+            counts = (valid_hw[:, 0] * valid_hw[:, 1]).astype(x.dtype)
+            pooled = jnp.sum(x, axis=(1, 2)) / jnp.maximum(counts, 1.0)[:, None]
         if not classify:
             return pooled
         h = nn.LayerNorm(epsilon=1e-6, name="head_norm")(pooled)
