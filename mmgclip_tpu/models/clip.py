@@ -93,6 +93,23 @@ class MMGCLIP:
             self.text_module = BertEncoder(self.bert_config)
         dummy_tokens = jnp.zeros((1, 8), jnp.int32)
         self.text_variables = jax.jit(self.text_module.init)(jax.random.key(seed), dummy_tokens)
+        # converted reference weights (tools/convert_bert.py output) load here,
+        # mirroring the image tower's convnext_tiny_clf_path contract
+        # (reference: encoder.py:121-144 loads the HF tower by name)
+        weights_path = str(config.get_path("networks.text_encoder.weights_path", "") or "")
+        if weights_path:
+            import os as _os
+
+            if _os.path.isfile(weights_path):
+                from flax import serialization
+
+                with open(weights_path, "rb") as fh:
+                    self.text_variables = serialization.from_bytes(
+                        jax.device_get(self.text_variables), fh.read()
+                    )
+                logger.info(f"Loaded converted text-tower weights from {weights_path}.")
+            else:
+                logger.warning(f"text_encoder.weights_path {weights_path!r} not found; using random init.")
         self.text_output_dimension = self.bert_config.hidden_size
 
         # --- optional trainable image tower (ResNet-50 ablation path) --

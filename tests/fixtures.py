@@ -54,6 +54,7 @@ def build_image_label_tree(
     features_dim: int = 768,
     feature_store: bool = True,
     separable: bool = False,
+    torch_feature_store: bool = False,
 ) -> Tuple[str, str, str, str]:
     """Returns (base_dataset_path, annotated_path, lists_path, features_dir)."""
     # replicate the real store prefix: <...>/2D_100micron/0/<pid[:2]>/<pid>/st<study>
@@ -104,6 +105,21 @@ def build_image_label_tree(
                 direction = np.sign(np.arange(features_dim) % 2 - 0.5).astype(np.float32)
                 feats[0, :, 0, 0] += (3.0 if benign else -3.0) * direction
             np.save(feat_path, feats)
+            if torch_feature_store:
+                # identical values in the reference's on-disk format
+                # (.pth tensors, reference: image_features.py:107-117)
+                import torch
+
+                # reference store layout: export/0/<pid[:2]>/<pid>/st<study>
+                # (reference: image_features.py:107-109); the dataset walks
+                # data_folder "0/02" where "02" IS the pid[:2] shard
+                pth_path = os.path.join(
+                    root, "features_torch", "0", pid[:2], pid, "st02", f"{image_id}.pth"
+                )
+                os.makedirs(os.path.dirname(pth_path), exist_ok=True)
+                # torch.tensor (not from_numpy): numpy-backed tensors fail
+                # torch.load's weights_only unpickling in torch >= 2.6
+                torch.save(torch.tensor(feats), pth_path)
 
     for i in range(n_benign):
         emit(i, benign=True)
