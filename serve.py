@@ -1,4 +1,4 @@
-"""Inference server: JSONL request/response over stdin/stdout.
+"""Inference server: JSONL request/response over stdin/stdout or a socket.
 
 Loads a trained experiment once and serves encode / classify / report
 requests with everything (towers, prompt banks, jitted programs) warm.
@@ -12,8 +12,15 @@ Protocol (one JSON object per line):
 
 Responses mirror the request id (if given) and carry "result" or "error".
 
-Usage:
-  python serve.py --experiment_path yyyy-mm-dd/XX-XX-XX [--once '<json>']
+Front-ends (same protocol on each):
+  stdin/stdout (default)          python serve.py --experiment_path ...
+  one-shot                        ... --once '{"op": "ping"}'
+  TCP socket, concurrent clients  ... --socket 127.0.0.1:8787
+  unix domain socket              ... --unix /tmp/mmgclip.sock
+
+Connections are handled concurrently (asyncio); device work is serialized
+through a single executor thread — one accelerator stream, no interleaved
+jit dispatch.
 """
 
 from __future__ import annotations
@@ -58,12 +65,61 @@ def handle(engine: InferenceEngine, request: dict) -> dict:
     raise ValueError(f"Unknown op {op!r}")
 
 
+async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=None,
+                       ready_event=None):
+    """JSONL protocol over TCP / unix sockets, one task per connection.
+
+    Device work runs on a single executor thread: clients interleave freely
+    at the protocol layer while jit dispatch stays single-stream."""
+    import asyncio
+    from concurrent.futures import ThreadPoolExecutor
+
+    loop = asyncio.get_running_loop()
+    executor = ThreadPoolExecutor(max_workers=1)
+
+    async def client(reader, writer):
+        while True:
+            line = await reader.readline()
+            if not line:
+                break
+            line = line.strip()
+            if not line:
+                continue
+            rid = None
+            try:
+                request = json.loads(line)
+                rid = request.get("id")
+                result = await loop.run_in_executor(executor, handle, engine, request)
+                out = {"id": rid, "result": result}
+            except Exception as exc:  # noqa: BLE001 - protocol boundary
+                out = {"id": rid, "error": str(exc)}
+            writer.write((json.dumps(out) + "\n").encode())
+            await writer.drain()
+        writer.close()
+        await writer.wait_closed()
+
+    if unix_path:
+        server = await asyncio.start_unix_server(client, path=unix_path)
+    else:
+        server = await asyncio.start_server(client, host, port)
+    addr = unix_path or f"{host}:{port}"
+    logger.info(f"Serving JSONL protocol on {addr}.")
+    if ready_event is not None:
+        ready_event.set()
+    async with server:
+        await server.serve_forever()
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--experiment_path", type=str, required=True,
                         help="Run folder inside outputs/ ('yyyy-mm-dd/XX-XX-XX').")
     parser.add_argument("--once", type=str, default=None,
                         help="Handle a single JSON request and exit.")
+    parser.add_argument("--socket", type=str, default=None,
+                        help="Serve over TCP: host:port.")
+    parser.add_argument("--unix", type=str, default=None,
+                        help="Serve over a unix domain socket at this path.")
     args = parser.parse_args()
 
     experiment_path = args.experiment_path
@@ -84,6 +140,15 @@ def main() -> None:
 
     if args.once:
         respond(json.loads(args.once))
+        return
+    if args.socket or args.unix:
+        import asyncio
+
+        if args.socket:
+            host, _, port = args.socket.rpartition(":")
+            asyncio.run(serve_socket(engine, host=host or "127.0.0.1", port=int(port)))
+        else:
+            asyncio.run(serve_socket(engine, unix_path=args.unix))
         return
     for line in sys.stdin:
         line = line.strip()

@@ -119,3 +119,55 @@ def test_serve_cli_stdin_loop(experiment):
     assert by_id[1]["result"] == {"ok": True}
     assert "error" in by_id[2] and "nope" in by_id[2]["error"]
     assert by_id[3]["result"]["similarities_argmax"][0] in (0, 1)
+
+
+def test_serve_socket_concurrent_clients(experiment, tmp_path):
+    """Unix-socket front-end: concurrent clients, interleaved requests, every
+    response routed back on the right connection with the right id."""
+    import asyncio
+    import socket
+    import threading
+
+    from serve import serve_socket
+
+    run_dir, png, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+    sock_path = str(tmp_path / "mmg.sock")
+    ready = threading.Event()
+
+    def run_server():
+        asyncio.run(serve_socket(engine, unix_path=sock_path, ready_event=ready))
+
+    threading.Thread(target=run_server, daemon=True).start()
+    assert ready.wait(timeout=30)
+
+    def client(client_idx, results):
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(sock_path)
+        fh = conn.makefile("rw")
+        requests = [
+            {"op": "ping", "id": f"{client_idx}-ping"},
+            {"op": "classify", "paths": [png], "class_list": ["benign", "malignant"],
+             "id": f"{client_idx}-clf"},
+            {"op": "nope", "id": f"{client_idx}-bad"},
+        ]
+        for request in requests:  # pipelined: all written before any read
+            fh.write(json.dumps(request) + "\n")
+        fh.flush()
+        for _ in requests:
+            response = json.loads(fh.readline())
+            results[response["id"]] = response
+        conn.close()
+
+    results = {}
+    threads = [threading.Thread(target=client, args=(i, results)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    assert len(results) == 9
+    for i in range(3):
+        assert results[f"{i}-ping"]["result"] == {"ok": True}
+        assert results[f"{i}-clf"]["result"]["class_list"] == ["benign", "malignant"]
+        assert "nope" in results[f"{i}-bad"]["error"]
