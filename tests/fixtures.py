@@ -21,11 +21,11 @@ def make_image_id(patient: int, study: int, view: str) -> str:
     return f"p{patient:08d}{study:02d}{view}"
 
 
-def write_png(path: str, size: int = 64, seed: int = 0) -> None:
+def write_png(path: str, size: int = 64, seed: int = 0, intensity_range=(0, 256)) -> None:
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    arr = rng.integers(0, 256, size=(size, size), dtype=np.uint8)
+    arr = rng.integers(*intensity_range, size=(size, size), dtype=np.uint8)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     Image.fromarray(arr, mode="L").save(path)
 
@@ -55,6 +55,7 @@ def build_image_label_tree(
     feature_store: bool = True,
     separable: bool = False,
     torch_feature_store: bool = False,
+    pixel_class_signal: bool = False,
 ) -> Tuple[str, str, str, str]:
     """Returns (base_dataset_path, annotated_path, lists_path, features_dir)."""
     # replicate the real store prefix: <...>/2D_100micron/0/<pid[:2]>/<pid>/st<study>
@@ -77,7 +78,12 @@ def build_image_label_tree(
         view = VIEWS[i % len(VIEWS)]
         image_id = make_image_id(patient, 2, view)
         png_path = os.path.join(base, pid[:2], pid, "st02", f"{image_id}.png")
-        write_png(png_path, size=image_size, seed=i)
+        # pixel_class_signal: classes separate in PIXEL space (intensity
+        # bands), so runs that encode from PNGs can actually learn
+        intensity = (0, 256)
+        if pixel_class_signal:
+            intensity = (0, 128) if benign else (128, 256)
+        write_png(png_path, size=image_size, seed=i, intensity_range=intensity)
 
         if benign:
             regions = {}
