@@ -128,8 +128,8 @@ class InferenceEngine:
         table, mask = self._cascade_table
         out = []
         for emb in self.image_embeddings(features):
-            decisions = run_cascade(emb, table, mask)
-            out.append({name: int(getattr(decisions, name)) for name in BANK_ORDER})
+            winners = np.asarray(run_cascade(emb, table, mask))  # one D2H fetch
+            out.append({name: int(winners[i]) for i, name in enumerate(BANK_ORDER)})
         return out
 
     def generate_reports(
