@@ -26,7 +26,7 @@ import numpy as np
 
 from .config import Config, recompose
 from .data.tokenizer import Tokenizer
-from .evaluation.report_cascade import BANK_ORDER, build_prompt_table, run_cascade
+from .evaluation.report_cascade import build_prompt_table, run_cascade, unpack_decisions
 from .ingest.encode import load_convnext_tower
 from .ingest.png_reader import decode_png
 from .models.clip import MMGCLIP, l2_normalize
@@ -128,8 +128,7 @@ class InferenceEngine:
         table, mask = self._cascade_table
         out = []
         for emb in self.image_embeddings(features):
-            winners = np.asarray(run_cascade(emb, table, mask))  # one D2H fetch
-            out.append({name: int(winners[i]) for i, name in enumerate(BANK_ORDER)})
+            out.append(unpack_decisions(run_cascade(emb, table, mask)))  # one scalar fetch
         return out
 
     def generate_reports(

@@ -2,11 +2,14 @@
 per-batch loop (same math, different host involvement)."""
 
 import json
+import pytest
 import os
 
 import numpy as np
 
 from test_training import _experiment
+
+pytestmark = pytest.mark.slow  # heavy jit/e2e tier; fast tier: -m 'not slow'
 
 
 def _train_losses(cfg):

@@ -8,6 +8,7 @@ link stops carrying gradient/signal.
 """
 
 import os
+import pytest
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,8 @@ from mmgclip_tpu.evaluation import metrics as M
 from mmgclip_tpu.models.clip import l2_normalize
 from mmgclip_tpu.training import create_experiment
 from fixtures import build_image_label_tree
+
+pytestmark = pytest.mark.slow  # heavy jit/e2e tier; fast tier: -m 'not slow'
 
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
 

@@ -12,6 +12,8 @@ from mmgclip_tpu.config import Config, compose, save_snapshot
 from mmgclip_tpu.serving import InferenceEngine
 from fixtures import build_image_label_tree, make_image_id
 
+pytestmark = pytest.mark.slow  # heavy jit/e2e tier; fast tier: -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIG_DIR = os.path.join(REPO, "configs")
 

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from mmgclip_tpu.models.bert import BertConfig, eos_pool, init_bert, load_hf_weights
 from mmgclip_tpu.models.convnext import ConvNeXtConfig, init_convnext, load_torchvision_weights
 
+pytestmark = pytest.mark.slow  # heavy jit/e2e tier; fast tier: -m 'not slow'
+
 
 def test_bert_matches_transformers_bert():
     hf_config = transformers.BertConfig(

@@ -15,6 +15,8 @@ from mmgclip_tpu.training import (
 )
 from fixtures import build_image_label_tree
 
+pytestmark = pytest.mark.slow  # heavy jit/e2e tier; fast tier: -m 'not slow'
+
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
 
 TINY_TEXT = {
