@@ -114,9 +114,12 @@ class Evaluator:
             self._prompt_cache[tuple(texts)] = emb
         return emb
 
-    def encode_image(self, batch) -> np.ndarray:
+    def _encode_image_device(self, batch) -> jnp.ndarray:
         feats = self.model.apply_image_tower(self.params, jnp.asarray(batch["image_features"], jnp.float32))
-        return np.asarray(l2_normalize(self.model.project_image(self.params, feats, train=False)))
+        return l2_normalize(self.model.project_image(self.params, feats, train=False))
+
+    def encode_image(self, batch) -> np.ndarray:
+        return np.asarray(self._encode_image_device(batch))
 
     def _logit_scale(self) -> float:
         return float(jnp.exp(self.params["logit_scale"]))
@@ -277,9 +280,12 @@ class Evaluator:
         image_embeddings = []
         prompt_labels: List[Dict] = []
         for batch in self.test_dataloader:
-            image_embeddings.append(self.encode_image(batch))
+            # keep per-batch results on DEVICE; D2H on the TPU link costs
+            # ~0.5s per fetch regardless of size — one fetch for the whole
+            # test set instead of one per batch
+            image_embeddings.append(self._encode_image_device(batch))
             prompt_labels.extend(batch["prompt_labels"])
-        image_embeddings = np.concatenate(image_embeddings, axis=0)
+        image_embeddings = np.asarray(jnp.concatenate(image_embeddings, axis=0))
 
         methods = list(self.config.dataset.eval.method)
         experiments_results = []

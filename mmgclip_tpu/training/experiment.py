@@ -324,12 +324,16 @@ class ClassifierExperiment:
             targets[key] = []
             predictions[key] = []
 
+        # per-batch results stay on DEVICE; D2H on the TPU link costs ~0.5s
+        # per fetch regardless of size, so everything is fetched ONCE per
+        # epoch after the loop
         losses = []
-        logit_scale = float(jnp.exp(self.params["logit_scale"]))
+        sims_dev: Dict[str, list] = {key: [] for key in probes}
+        logit_scale = jnp.exp(self.params["logit_scale"])
         for batch in self.valid_dataloader:
             feats, text, text2 = self._device_batch(batch)
             loss, image_emb = self._val_step(self.params, feats, text, text2)
-            losses.append(float(loss))
+            losses.append(loss)
 
             prompt_labels = batch["prompt_labels"]
             if "malig" in probes:
@@ -339,8 +343,7 @@ class ClassifierExperiment:
                 else:
                     y = [BenignMalignantDatasetLabels[pl["BenignMalignantDatasetLabels"]].value for pl in prompt_labels]
                 targets["malig"].extend(y)
-                sims = logit_scale * image_emb @ probes["malig"].T
-                predictions["malig"].extend(np.asarray(sims[:, 0]).tolist())
+                sims_dev["malig"].append((logit_scale * image_emb @ probes["malig"].T)[:, 0])
             if "shapes" in probes:
                 first = prompt_labels[0]["MassShapeLabels"]
                 if isinstance(first, (int, np.integer)):
@@ -348,15 +351,16 @@ class ClassifierExperiment:
                 else:
                     y = [MassShapeLabels[pl["MassShapeLabels"]].value for pl in prompt_labels]
                 targets["shapes"].extend(y)
-                sims = logit_scale * image_emb @ probes["shapes"].T
-                predictions["shapes"].extend(np.asarray(sims).tolist())
+                sims_dev["shapes"].append(logit_scale * image_emb @ probes["shapes"].T)
             if "birads" in probes:
                 y = [-1 if str(pl["BIRADS"]) == "unknown" else int(pl["BIRADS"]) for pl in prompt_labels]
                 targets["birads"].extend(y)
-                sims = logit_scale * image_emb @ probes["birads"].T
-                predictions["birads"].extend(np.asarray(sims).tolist())
+                sims_dev["birads"].append(logit_scale * image_emb @ probes["birads"].T)
 
-        epoch_loss = float(np.mean(losses)) if losses else float("nan")
+        for key, chunks in sims_dev.items():
+            if chunks:
+                predictions[key] = np.asarray(jnp.concatenate(chunks, axis=0))
+        epoch_loss = float(np.mean(np.asarray(jnp.stack(losses)))) if losses else float("nan")
         self.writer.add_scalar("loss/val", epoch_loss, self.current_epoch + 1)
 
         auc_malig = auc_shapes = auc_birads = -1.0
