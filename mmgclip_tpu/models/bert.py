@@ -60,6 +60,32 @@ def _layer_norm(x, scale, bias, eps):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def bert_layer(hidden, p, attention_mask, *, heads, eps, use_flash, dtype):
+    """One post-LN transformer block over a single layer's param slice.
+
+    ``p`` is one [H, ...]-shaped slice of the stacked tree (no leading layer
+    axis).  Shared by the scanned encoder below and the pipeline-parallel
+    forward (parallel/pipeline.py), so both paths stay numerically identical.
+    """
+    b, s, H = hidden.shape
+    head_dim = H // heads
+    qkv = hidden @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(dtype)  # [b, s, 3H]
+    qkv = qkv.reshape(b, s, 3, heads, head_dim)
+    q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    if use_flash:
+        ctx = flash_attention(q, k, v, attention_mask)
+    else:
+        ctx = attention_reference(q, k, v, attention_mask)
+    ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, H)
+    attn = ctx @ p["out_kernel"].astype(dtype) + p["out_bias"].astype(dtype)
+    hidden = _layer_norm(hidden + attn, p["attn_norm_scale"], p["attn_norm_bias"], eps)
+
+    mlp = hidden @ p["mlp_in_kernel"].astype(dtype) + p["mlp_in_bias"].astype(dtype)
+    mlp = nn.gelu(mlp, approximate=False)
+    mlp = mlp @ p["mlp_out_kernel"].astype(dtype) + p["mlp_out_bias"].astype(dtype)
+    return _layer_norm(hidden + mlp, p["out_norm_scale"], p["out_norm_bias"], eps)
+
+
 class BertEncoder(nn.Module):
     """Embeddings + scanned transformer stack; returns last_hidden_state."""
 
@@ -70,7 +96,6 @@ class BertEncoder(nn.Module):
         cfg = self.config
         b, s = input_ids.shape
         heads = cfg.num_attention_heads
-        head_dim = cfg.hidden_size // heads
         if attention_mask is None:
             attention_mask = jnp.ones((b, s), jnp.int32)
         if token_type_ids is None:
@@ -103,25 +128,12 @@ class BertEncoder(nn.Module):
         }
 
         use_flash = cfg.use_flash_attention and jax.default_backend() == "tpu"
-        dtype = cfg.dtype
-        eps = cfg.layer_norm_eps
 
         def layer(hidden, p):
-            qkv = hidden @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(dtype)  # [b, s, 3H]
-            qkv = qkv.reshape(b, s, 3, heads, head_dim)
-            q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
-            if use_flash:
-                ctx = flash_attention(q, k, v, attention_mask)
-            else:
-                ctx = attention_reference(q, k, v, attention_mask)
-            ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, H)
-            attn = ctx @ p["out_kernel"].astype(dtype) + p["out_bias"].astype(dtype)
-            hidden = _layer_norm(hidden + attn, p["attn_norm_scale"], p["attn_norm_bias"], eps)
-
-            mlp = hidden @ p["mlp_in_kernel"].astype(dtype) + p["mlp_in_bias"].astype(dtype)
-            mlp = nn.gelu(mlp, approximate=False)
-            mlp = mlp @ p["mlp_out_kernel"].astype(dtype) + p["mlp_out_bias"].astype(dtype)
-            hidden = _layer_norm(hidden + mlp, p["out_norm_scale"], p["out_norm_bias"], eps)
+            hidden = bert_layer(
+                hidden, p, attention_mask,
+                heads=heads, eps=cfg.layer_norm_eps, use_flash=use_flash, dtype=cfg.dtype,
+            )
             return hidden, None
 
         hidden, _ = jax.lax.scan(layer, hidden, stacked)

@@ -137,11 +137,19 @@ class MMGCLIP:
             image_in = (
                 2048 if image_encoder_name == "ResNet50Encoder" else self.image_features_dimension
             )
+            # pass through any extra knobs the head declares (e.g. the MoE
+            # head's n_experts / capacity_factor) from the projection config
+            extra = {
+                key: config.projection.config[key]
+                for key in getattr(head_cls, "__dataclass_fields__", {})
+                if key not in ("embedding_dim", "projection_dim", "dropout")
+                and key in config.projection.config
+            }
             self.image_projection = head_cls(
-                embedding_dim=image_in, projection_dim=proj_dim, dropout=dropout
+                embedding_dim=image_in, projection_dim=proj_dim, dropout=dropout, **extra
             )
             self.text_projection = head_cls(
-                embedding_dim=self.text_output_dimension, projection_dim=proj_dim, dropout=dropout
+                embedding_dim=self.text_output_dimension, projection_dim=proj_dim, dropout=dropout, **extra
             )
             img_dummy = jnp.zeros((1, image_in), jnp.float32)
             txt_dummy = jnp.zeros((1, self.text_output_dimension), jnp.float32)

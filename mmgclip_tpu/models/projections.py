@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Sequence, Union
 
+import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.registry import PROJECTIONS
@@ -89,6 +91,69 @@ class MLPProjectionHead(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = x + projected
         return nn.LayerNorm(name="layer_norm")(x)
+
+
+@PROJECTIONS.register("MoEProjectionHead")
+class MoEProjectionHead(nn.Module):
+    """Mixture-of-experts projection head (TPU-native extension; no reference
+    counterpart — the reference's heads are all dense, projection.py:4-101).
+
+    Switch-style top-1 routing with a static per-expert capacity: the router
+    picks one expert per embedding, tokens dispatch/combine through one-hot
+    einsums (fixed shapes, fully jittable), and the gate probability scales
+    the expert output so the router receives gradient.  Tokens routed past an
+    expert's capacity are dropped (zero output) — the standard Switch
+    contract.  Expert weights carry a leading [E, ...] axis, so expert
+    parallelism is a sharding decision: place them with
+    ``parallel/expert.py``'s specs over an ``expert`` mesh axis and GSPMD
+    turns the dispatch/combine einsums into all_to_alls.
+    """
+
+    embedding_dim: int
+    projection_dim: int = 512
+    dropout: float = 0.0
+    n_experts: int = 8
+    capacity_factor: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        n, h = x.shape
+        e, p = self.n_experts, self.projection_dim
+        # static capacity: trace-time python arithmetic on the batch dim
+        capacity = max(1, int(self.capacity_factor * n / e))
+
+        lecun = nn.initializers.lecun_normal()
+        router = self.param("router", lecun, (h, e))
+        w_in = self.param("w_in", lecun, (e, h, p))
+        b_in = self.param("b_in", nn.initializers.zeros, (e, p))
+        w_out = self.param("w_out", lecun, (e, p, p))
+        b_out = self.param("b_out", nn.initializers.zeros, (e, p))
+
+        probs = jax.nn.softmax((x @ router).astype(jnp.float32), axis=-1)
+        expert_idx = jnp.argmax(probs, axis=-1)  # [n]
+        expert_onehot = jax.nn.one_hot(expert_idx, e, dtype=jnp.int32)  # [n, e]
+        # position of each token within its expert's queue (exclusive count
+        # of earlier same-expert tokens)
+        position = jnp.sum(
+            (jnp.cumsum(expert_onehot, axis=0) - expert_onehot) * expert_onehot, axis=-1
+        )
+        keep = (position < capacity).astype(x.dtype)
+        dispatch = (
+            expert_onehot.astype(x.dtype)[:, :, None]
+            * jax.nn.one_hot(position, capacity, dtype=x.dtype)[:, None, :]
+            * keep[:, None, None]
+        )  # [n, e, c]
+        gate = jnp.sum(probs.astype(x.dtype) * expert_onehot.astype(x.dtype), axis=-1)
+        combine = dispatch * gate[:, None, None]
+
+        expert_in = jnp.einsum("nec,nh->ech", dispatch, x)
+        hidden = nn.gelu(
+            jnp.einsum("ech,ehp->ecp", expert_in, w_in) + b_in[:, None, :],
+            approximate=False,
+        )
+        expert_out = jnp.einsum("ecp,epq->ecq", hidden, w_out) + b_out[:, None, :]
+        y = jnp.einsum("nec,ecq->nq", combine, expert_out)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(y)
 
 
 def get_projection_head(name: str):

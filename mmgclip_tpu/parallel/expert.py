@@ -1,0 +1,40 @@
+"""Expert parallelism: shard MoE expert weights over an ``expert`` mesh axis.
+
+No reference counterpart (the reference has no model parallelism, SURVEY
+§2.4).  The MoE projection head (models/projections.py::MoEProjectionHead)
+stacks its per-expert weights on a leading [E, ...] axis; expert parallelism
+is purely a placement decision — put those leaves on the ``expert`` axis and
+GSPMD lowers the dispatch/combine einsums to all_to_all over ICI.  The
+sharded program is numerically identical to the replicated one
+(tests/test_expert.py).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from .mesh import EXPERT_AXIS
+
+P = PartitionSpec
+
+
+def moe_param_specs(params, n_experts: int, axis_name: str = EXPERT_AXIS):
+    """PartitionSpecs for an MoE head's param tree: leaves with a leading
+    [n_experts] axis shard over ``axis_name``; the router and any other
+    leaves replicate."""
+
+    def spec(leaf):
+        if leaf.ndim >= 1 and leaf.shape[0] == n_experts:
+            return P(axis_name, *([None] * (leaf.ndim - 1)))
+        return P()
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def shard_moe_params(params, mesh: Mesh, n_experts: int, axis_name: str = EXPERT_AXIS):
+    """Place an MoE param tree on the mesh with experts distributed."""
+    specs = moe_param_specs(params, n_experts, axis_name)
+    return jax.tree_util.tree_map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)), params, specs
+    )

@@ -19,6 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SLICE_AXIS = "slice"  # DCN axis between TPU slices
+PIPE_AXIS = "pipe"  # pipeline stages (parallel/pipeline.py)
+EXPERT_AXIS = "expert"  # MoE experts (parallel/expert.py)
 
 
 def create_mesh(
