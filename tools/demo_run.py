@@ -20,6 +20,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import jax  # noqa: E402
 
@@ -129,6 +130,12 @@ def main() -> None:
             },
             fh, indent=2,
         )
+
+    print("== tsne ==")
+    import tsne_eval
+
+    sys.argv = ["tsne_eval.py", "--experiment_path", RUN]
+    tsne_eval.main()
 
     manifest = []
     for root, _dirs, files in os.walk(RUN):
