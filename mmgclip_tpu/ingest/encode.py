@@ -56,10 +56,16 @@ def load_convnext_tower(config, seed: int = 0):
     path = str(config.networks.image_encoder.convnext_tiny_clf_path or "")
     overrides = config.get_path("networks.image_encoder.config", {}) or {}
     cn_config = ConvNeXtConfig.micro() if overrides.get("micro") else ConvNeXtConfig.tiny()
-    if overrides.get("in_channels"):
-        from dataclasses import replace
+    from dataclasses import replace
 
+    if overrides.get("in_channels"):
         cn_config = replace(cn_config, in_channels=int(overrides["in_channels"]))
+    if overrides.get("dtype"):
+        # bf16 compute on the MXU halves HBM traffic for the encode tower;
+        # params stay float32 on disk and cast per-op inside the blocks
+        from ..models.clip import resolve_dtype
+
+        cn_config = replace(cn_config, dtype=resolve_dtype(overrides["dtype"]))
     module, params = init_convnext(cn_config, seed=seed, image_size=64)
     if path and os.path.isfile(path) and path.endswith(".npz"):
         from flax import serialization

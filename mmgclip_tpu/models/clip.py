@@ -48,7 +48,21 @@ def _bert_config_from(config: Config, vocab_size: Optional[int]) -> BertConfig:
             kwargs[key] = int(overrides[key])
     if vocab_size is not None and "vocab_size" not in kwargs:
         kwargs["vocab_size"] = int(vocab_size)
+    if "dtype" in overrides:
+        kwargs["dtype"] = resolve_dtype(overrides["dtype"])
     return BertConfig(**kwargs)
+
+
+def resolve_dtype(name) -> Any:
+    """Config string -> jnp dtype ('bfloat16'|'float32'|'float16')."""
+    if not isinstance(name, str):
+        return name
+    table = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+             "float32": jnp.float32, "f32": jnp.float32,
+             "float16": jnp.float16, "f16": jnp.float16}
+    if name not in table:
+        raise ValueError(f"Unknown dtype {name!r}; expected one of {sorted(table)}")
+    return table[name]
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
