@@ -110,8 +110,6 @@ def pipeline_forward(
     state: pytree whose leaves share a leading batch axis divisible by the
     microbatch count (defaults to the stage count).
     """
-    from jax.experimental.shard_map import shard_map
-
     n_stages = mesh.shape[axis_name]
     n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     if n_layers % n_stages:
@@ -124,12 +122,12 @@ def pipeline_forward(
     microbatches = jax.tree_util.tree_map(
         lambda x: x.reshape(n_micro, batch // n_micro, *x.shape[1:]), state
     )
-    fn = shard_map(
+    fn = jax.shard_map(
         partial(pipeline_spmd, layer_fn, axis_name=axis_name),
         mesh=mesh,
         in_specs=(stacked_layer_specs(stacked_params, axis_name), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(stacked_params, microbatches)
     return jax.tree_util.tree_map(lambda x: x.reshape(batch, *x.shape[2:]), out)
