@@ -108,7 +108,16 @@ class ClassifierExperiment:
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
         self.params = jax.device_put(self.params, self._replicated)
-        self.opt_state = jax.device_put(self.opt_state, self._replicated)
+        if bool(config.get_path("optimizer.config.zero_sharding", False)) and data_size > 1:
+            # ZeRO-1: moments shard over `data` (matters when a tower is
+            # unfrozen — AdamW keeps 2x param bytes); GSPMD inserts the
+            # reduce-scatter/all-gather around the update (parallel/zero.py)
+            from ..parallel.zero import shard_opt_state
+
+            self.opt_state = shard_opt_state(self.opt_state, self.mesh)
+            logger.info("Optimizer state sharded over the data axis (ZeRO-1).")
+        else:
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
         logger.info(f"Training over mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}.")
 
         # ---- frozen-tower text banks -------------------------------------
@@ -420,7 +429,12 @@ class ClassifierExperiment:
         state = load_checkpoint(self.ckp_path, self.params, self.opt_state)
         self.params = jax.device_put(state["params"], self._replicated)
         if "opt_state" in state:
-            self.opt_state = jax.device_put(state["opt_state"], self._replicated)
+            if bool(self.config.get_path("optimizer.config.zero_sharding", False)) and self.mesh.devices.size > 1:
+                from ..parallel.zero import shard_opt_state
+
+                self.opt_state = shard_opt_state(state["opt_state"], self.mesh)
+            else:
+                self.opt_state = jax.device_put(state["opt_state"], self._replicated)
         self.current_epoch = state["epoch"] + 1
         self.early_stopper.best_score = state["best_score"]
         self.early_stopper.counter = state["counter"]

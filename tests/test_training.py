@@ -31,9 +31,11 @@ TINY_TEXT = {
 }
 
 
-def _experiment(tmp_path, epochs=2, batch_size=4):
+def _experiment(tmp_path, epochs=2, batch_size=4, zero_sharding=False):
     base, annotated, lists_dir, features_dir = build_image_label_tree(str(tmp_path), n_benign=8, n_malignant=8)
     cfg = compose(CONFIG_DIR, "train_binary_class_clf", run_dir=str(tmp_path / "run"))
+    if zero_sharding:
+        cfg.optimizer.config.zero_sharding = True
     cfg.dataset.config.base_dataset_path = base
     cfg.dataset.config.annotated_dataset_path = annotated
     cfg.dataset.config.lists_dataset_path = lists_dir
@@ -142,6 +144,32 @@ def test_train_step_is_multi_device_sharded(tmp_path):
     batch = next(iter(exp.train_dataloader))
     feats, text, text2 = exp._device_batch(batch)
     assert feats.sharding.num_devices == 8
+
+
+def test_zero_sharded_training_matches_replicated(tmp_path):
+    """optimizer.config.zero_sharding=true shards the moments over `data`
+    and trains to the same losses as the replicated run (parallel/zero.py)."""
+    import json
+
+    exp, cfg = _experiment(tmp_path / "rep", epochs=3, batch_size=8)
+    exp.run()
+    exp_z, cfg_z = _experiment(tmp_path / "zero", epochs=3, batch_size=8, zero_sharding=True)
+    # the adam moments for the projection kernel actually shard
+    mu_leaves = [
+        leaf for leaf in jax.tree_util.tree_leaves(exp_z.opt_state)
+        if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] % 8 == 0
+    ]
+    assert mu_leaves and any(
+        leaf.addressable_shards[0].data.shape[0] == leaf.shape[0] // 8 for leaf in mu_leaves
+    )
+    exp_z.run()
+
+    def losses(c):
+        lines = [json.loads(l) for l in open(
+            os.path.join(c.base.tensorboard_export_dir, "scalars.jsonl"))]
+        return [l["value"] for l in lines if l["tag"] == "loss/train"]
+
+    np.testing.assert_allclose(losses(cfg), losses(cfg_z), rtol=1e-4, atol=1e-5)
 
 
 def test_orbax_checkpoint_backend(tmp_path):
