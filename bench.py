@@ -67,13 +67,17 @@ def _matmul_roofline_tflops(jax, dtype, n=2048, batch=8, iters=8):
     import numpy as np
 
     np.asarray(burst(x, w)[0, 0, :1])  # warm + fence
-    t0 = time.perf_counter()
-    for _ in range(iters - 1):
+    # best of 3 windows: the remote tunnel's run-to-run variance would
+    # otherwise corrupt the roofline (and hence report MFU > 1)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters - 1):
+            out = burst(x, w)
         out = burst(x, w)
-    out = burst(x, w)
-    np.asarray(out[0, 0, :1])  # fetch-fenced: block_until_ready can lie here
-    elapsed = time.perf_counter() - t0
-    return batch * iters * 2 * n**3 / elapsed / 1e12
+        np.asarray(out[0, 0, :1])  # fetch-fenced: block_until_ready can lie here
+        rates.append(batch * iters * 2 * n**3 / (time.perf_counter() - t0) / 1e12)
+    return max(rates)
 
 
 def bench_encode() -> dict:

@@ -156,7 +156,7 @@ class MMGCLIP:
             extra = {
                 key: config.projection.config[key]
                 for key in getattr(head_cls, "__dataclass_fields__", {})
-                if key not in ("embedding_dim", "projection_dim", "dropout")
+                if key not in ("embedding_dim", "projection_dim", "dropout", "parent", "name")
                 and key in config.projection.config
             }
             self.image_projection = head_cls(
