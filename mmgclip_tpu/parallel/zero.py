@@ -36,7 +36,7 @@ def _leaf_spec(leaf, n_shards: int) -> PartitionSpec:
 def zero1_shardings(opt_state, mesh: Mesh):
     """NamedSharding pytree for an optax state: moment tensors sharded over
     ``data``, everything unshardable replicated."""
-    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == DATA_AXIS]))
+    n_shards = int(mesh.shape.get(DATA_AXIS, 1))
     return jax.tree_util.tree_map(
         lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, n_shards)), opt_state
     )
