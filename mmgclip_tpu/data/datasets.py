@@ -219,6 +219,7 @@ class StudyReportDataset:
         """Mix generated prompts with/instead of translated reports
         (reference: dataset.py:380-497)."""
         cfg = self.config.dataset.config
+        bug_compat = bool(cfg.get("gtr_bug_compat", True))
         gtr = pd.read_csv(cfg.gt_path, dtype=str)
         gtr["full_study_id"] = gtr["gtr_path"].apply(lambda x: x.split("/")[-1][:10])
         df = self.final_reports_dataset
@@ -259,7 +260,12 @@ class StudyReportDataset:
                         )
                     prompts.append(prompt)
 
-                if str(sample.gtr_is_architectural_distortion) == "True":
+                # reference quirk: its check is `str(...) == True` — a str
+                # never equals the bool, so the reference NEVER emits this
+                # prompt (reference: dataset.py:455-456).  Supervision parity
+                # (and RNG-stream parity for every later draw) requires the
+                # same; `gtr_bug_compat: false` restores the intended prompt.
+                if not bug_compat and str(sample.gtr_is_architectural_distortion) == "True":
                     prompts.append(
                         generate_gtr_prompt_sentence(
                             "gtr_is_architectural_distortion:True", n=1, rng=self._rng
