@@ -22,6 +22,15 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _pvary(x, axis_name):
+    """Mark a freshly-created array as varying over the mapped axis so the
+    scan carry type stays stable across ppermute (jax>=0.9: pcast; older:
+    pvary)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)
+
+
 def ring_attention(q, k, v, axis_name: str, kv_valid=None):
     """Blockwise ring attention inside a shard_map.
 
@@ -39,7 +48,7 @@ def ring_attention(q, k, v, axis_name: str, kv_valid=None):
         kv_valid = jnp.ones((b, s_local), jnp.int32)
         # the freshly-created mask must be marked varying over the ring axis
         # so the scan carry type stays stable across ppermute
-        kv_valid = jax.lax.pvary(kv_valid, axis_name)
+        kv_valid = _pvary(kv_valid, axis_name)
 
     perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
 
@@ -61,9 +70,9 @@ def ring_attention(q, k, v, axis_name: str, kv_valid=None):
         valid = jax.lax.ppermute(valid, axis_name, perm)
         return (k_blk, v_blk, valid, m_new, l, acc), None
 
-    m0 = jax.lax.pvary(jnp.full((b, h, s_local, 1), NEG_INF, jnp.float32), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((b, h, s_local, 1), jnp.float32), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros((b, h, s_local, d), jnp.float32), axis_name)
+    m0 = _pvary(jnp.full((b, h, s_local, 1), NEG_INF, jnp.float32), axis_name)
+    l0 = _pvary(jnp.zeros((b, h, s_local, 1), jnp.float32), axis_name)
+    acc0 = _pvary(jnp.zeros((b, h, s_local, d), jnp.float32), axis_name)
     (_k, _v, _valid, _m, l, acc), _ = jax.lax.scan(
         step, (k, v, kv_valid, m0, l0, acc0), None, length=n_devices
     )
