@@ -157,12 +157,14 @@ def bench_encode() -> dict:
 
     # projection to real v5e hardware: 197 bf16 TFLOP/s peak; carry over the
     # MFU this program achieves against the measured roofline HERE (the
-    # program is the same; only the backend's clock changes), floor-capped at
-    # a conservative 0.4 conv-net MFU
+    # program is the same; only the backend's clock changes).  Capped at 1.0;
+    # NO floor — a low measured MFU must lower the projection, not be
+    # silently replaced
     v5e_peak_tflops = 197.0
     mfu = achieved_tflops / max(roofline, 1e-9)
+    projection_mfu = min(mfu, 1.0)
     v5e_projected = (
-        v5e_peak_tflops * 1e12 * min(max(mfu, 0.4), 1.0) / max(flops_per_image, 1.0)
+        v5e_peak_tflops * 1e12 * projection_mfu / max(flops_per_image, 1.0)
         if flops_per_image
         else 0.0
     )
@@ -182,10 +184,10 @@ def bench_encode() -> dict:
             "flops_per_image_g": round(flops_per_image / 1e9, 3),
             "achieved_tflops_compute_only": round(achieved_tflops, 2),
             "matmul_roofline_tflops": round(roofline, 2),
-            "mfu_vs_matmul_roofline": round(achieved_tflops / max(roofline, 1e-9), 4),
+            "mfu_vs_matmul_roofline": round(mfu, 4),
             "v5e_projected_img_per_sec": round(v5e_projected, 0),
             "v5e_projection_basis": (
-                f"197 bf16 TFLOP/s peak x MFU {min(max(mfu, 0.4), 1.0):.2f} "
+                f"197 bf16 TFLOP/s peak x measured MFU {projection_mfu:.2f} "
                 f"/ {flops_per_image / 1e9:.2f} GFLOPs/img; input transfer is "
                 "not binding there (v5e PCIe/ICI ~100x this tunnel)"
             ),

@@ -60,6 +60,29 @@ def _layer_norm(x, scale, bias, eps):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def bert_embeddings(enc_params, input_ids, token_type_ids, *, eps):
+    """Embedding block over the BertEncoder param subtree (word + position +
+    token-type lookups, then layernorm).
+
+    Single source for every consumer that computes embeddings outside the
+    flax module (parallel/pipeline.py's pipelined forward); equality with the
+    module's own nn.Embed path is pinned by
+    tests/test_pipeline.py::test_pipelined_bert_matches_encoder.
+    """
+    s = input_ids.shape[1]
+    hidden = (
+        jnp.take(enc_params["word_embeddings"]["embedding"], input_ids, axis=0)
+        + jnp.take(enc_params["position_embeddings"]["embedding"], jnp.arange(s), axis=0)[None]
+        + jnp.take(enc_params["token_type_embeddings"]["embedding"], token_type_ids, axis=0)
+    )
+    return _layer_norm(
+        hidden,
+        enc_params["embeddings_norm"]["scale"],
+        enc_params["embeddings_norm"]["bias"],
+        eps,
+    )
+
+
 def bert_layer(hidden, p, attention_mask, *, heads, eps, use_flash, dtype):
     """One post-LN transformer block over a single layer's param slice.
 

@@ -152,23 +152,12 @@ def pipelined_bert_forward(
     collective-permute pipeline, each stage running ``bert_layer`` on its
     slice of the stacked parameter tree.
     """
-    from ..models.bert import _layer_norm, bert_layer
+    from ..models.bert import bert_embeddings, bert_layer
 
     enc = variables["params"]
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
-    s = input_ids.shape[1]
-    hidden = (
-        jnp.take(enc["word_embeddings"]["embedding"], input_ids, axis=0)
-        + jnp.take(enc["position_embeddings"]["embedding"], jnp.arange(s), axis=0)[None]
-        + jnp.take(enc["token_type_embeddings"]["embedding"], token_type_ids, axis=0)
-    )
-    hidden = _layer_norm(
-        hidden,
-        enc["embeddings_norm"]["scale"],
-        enc["embeddings_norm"]["bias"],
-        config.layer_norm_eps,
-    )
+    hidden = bert_embeddings(enc, input_ids, token_type_ids, eps=config.layer_norm_eps)
 
     stacked_keys = (
         "qkv_kernel", "qkv_bias", "out_kernel", "out_bias",

@@ -26,6 +26,8 @@ P = PartitionSpec
 
 
 def _leaf_spec(leaf, n_shards: int) -> PartitionSpec:
+    if n_shards <= 1:
+        return P()  # nothing to shard over (data=1 or model-only meshes)
     shape = getattr(leaf, "shape", ())
     for axis, dim in enumerate(shape):
         if dim % n_shards == 0 and dim >= n_shards:

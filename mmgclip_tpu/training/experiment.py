@@ -31,7 +31,7 @@ from ..config.registry import EXPERIMENTS
 from ..evaluation import metrics as M
 from ..losses import create_loss
 from ..models.clip import MMGCLIP, l2_normalize
-from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from ..parallel.mesh import DATA_AXIS, batch_sharding, create_mesh, replicated
 from ..prompts.enums import BenignMalignantDatasetLabels, MassShapeLabels
 from ..utils.logging import logger
 from ..utils.seeding import create_directory_if_not_exists
@@ -429,7 +429,10 @@ class ClassifierExperiment:
         state = load_checkpoint(self.ckp_path, self.params, self.opt_state)
         self.params = jax.device_put(state["params"], self._replicated)
         if "opt_state" in state:
-            if bool(self.config.get_path("optimizer.config.zero_sharding", False)) and self.mesh.devices.size > 1:
+            # gate on the DATA-axis size (not total devices): with a future
+            # data=1, model=N mesh, ZeRO resharding must stay off here just
+            # as it does in __init__
+            if bool(self.config.get_path("optimizer.config.zero_sharding", False)) and int(self.mesh.shape.get(DATA_AXIS, 1)) > 1:
                 from ..parallel.zero import shard_opt_state
 
                 self.opt_state = shard_opt_state(state["opt_state"], self.mesh)
