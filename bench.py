@@ -220,8 +220,9 @@ def bench_train() -> dict:
 
     batch = int(os.environ.get("BENCH_BATCH", 256))
     steps = int(os.environ.get("BENCH_TRAIN_STEPS", 50))
-    n_bank = 4096
-    seq = 256
+    n_bank = int(os.environ.get("BENCH_TRAIN_BANK", 4096))
+    seq = int(os.environ.get("BENCH_SEQ", 256))
+    ref_layers = int(os.environ.get("BENCH_REF_LAYERS", 12))
     rng = np.random.default_rng(0)
 
     img_proj = LinearProjectionLayer(embedding_dim=768, projection_dim=512)
@@ -275,7 +276,7 @@ def bench_train() -> dict:
 
     # reference-shaped step: frozen BERT-base forward inside every step
     bert_cfg = BertConfig(
-        vocab_size=8192, hidden_size=768, num_hidden_layers=12,
+        vocab_size=8192, hidden_size=768, num_hidden_layers=ref_layers,
         num_attention_heads=12, intermediate_size=3072, max_position_embeddings=seq,
     )
     module, bert_params = init_bert(bert_cfg)
