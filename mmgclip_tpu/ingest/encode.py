@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from ..models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+from ..models.convnext import ConvNeXtConfig, init_convnext
 from ..ops.fusion import fuse_views
 from ..ops.preprocess import intensity_transform
 from ..utils.logging import logger

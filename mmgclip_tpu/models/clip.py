@@ -18,7 +18,6 @@ identical numerics, reference recomputes BERT every step).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

@@ -17,7 +17,6 @@ subsequent row).
 
 import os
 import random
-import sys
 
 import pytest
 

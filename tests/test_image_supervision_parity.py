@@ -19,7 +19,6 @@ documented improvement, not a parity target.
 
 import os
 import random
-import sys
 
 import pytest
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mmgclip_tpu.models.bert import BertConfig, BertEncoder, init_bert
+from mmgclip_tpu.models.bert import BertConfig, init_bert
 from mmgclip_tpu.parallel import PIPE_AXIS, pipeline_forward, pipelined_bert_forward
 from mmgclip_tpu.parallel.pipeline import stacked_layer_specs
 

@@ -32,8 +32,6 @@ DATA = os.path.join(DEMO, "data")
 
 
 def main() -> None:
-    import numpy as np
-
     import encode_images
     import generate_report
     import mmgclip_tpu
