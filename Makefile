@@ -1,0 +1,27 @@
+# mmgclip_tpu developer targets
+
+.PHONY: test test-fast demo bench bench-train bench-report dryrun eda
+
+test:            ## full suite on the virtual 8-device CPU mesh (~45 min on 1 core)
+	python -m pytest tests/ -q
+
+test-fast:       ## fast tier gating commits
+	python -m pytest tests/ -q -m 'not slow'
+
+demo:            ## reproducible end-to-end run -> outputs/demo/run/
+	python tools/demo_run.py
+
+bench:           ## encode throughput + FLOPs/MFU/H2D/v5e-projection accounting
+	python bench.py
+
+bench-train:     ## fused-epoch train-step samples/sec
+	BENCH_MODE=train python bench.py
+
+bench-report:    ## one-call cascade latency vs stepwise
+	BENCH_MODE=report python bench.py
+
+dryrun:          ## multi-chip dryrun on a virtual 8-device CPU mesh (dp/tp/sp/pp/ep/zero1)
+	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+eda:             ## dataset statistics report (override paths with ARGS="key=value ...")
+	python tools/eda.py --config-name train_binary_class_clf $(ARGS)
