@@ -52,11 +52,15 @@ def _setup_jax():
     return jax
 
 
-def _matmul_roofline_tflops(jax, dtype, n=2048, batch=8, iters=8):
+def _matmul_roofline_tflops(jax, dtype, n=None, batch=8, iters=None, windows=None):
     """Measured peak: independent batched bf16 matmuls (no serial dependency
-    chain — that would measure latency, not the MXU rate)."""
+    chain — that would measure latency, not the MXU rate).  Env knobs
+    (BENCH_ROOFLINE_N/ITERS/WINDOWS) let the CPU smoke tier shrink it."""
     import jax.numpy as jnp
 
+    n = int(os.environ.get("BENCH_ROOFLINE_N", n or 2048))
+    iters = int(os.environ.get("BENCH_ROOFLINE_ITERS", iters or 8))
+    windows = int(os.environ.get("BENCH_ROOFLINE_WINDOWS", windows or 3))
     x = jnp.ones((batch, n, n), dtype)
     w = jnp.ones((n, n), dtype)
 
@@ -67,10 +71,10 @@ def _matmul_roofline_tflops(jax, dtype, n=2048, batch=8, iters=8):
     import numpy as np
 
     np.asarray(burst(x, w)[0, 0, :1])  # warm + fence
-    # best of 3 windows: the remote tunnel's run-to-run variance would
+    # best of N windows: the remote tunnel's run-to-run variance would
     # otherwise corrupt the roofline (and hence report MFU > 1)
     rates = []
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters - 1):
             out = burst(x, w)

@@ -65,7 +65,15 @@ def resolve_dtype(name) -> Any:
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    """Row-normalize, gradient-safe at x=0.
+
+    Clamp the SQUARED norm before the sqrt: `x / max(norm(x), eps)` has a
+    finite forward at 0 but a NaN gradient (d sqrt at 0 is inf, times the
+    zero row -> inf*0).  Exact-zero rows are reachable — the MoE projection
+    head emits zeros for capacity-dropped tokens — and one NaN row poisons
+    every parameter through the contrastive loss."""
+    squared = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(squared, eps * eps))
 
 
 class MMGCLIP:

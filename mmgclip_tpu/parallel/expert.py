@@ -22,14 +22,21 @@ P = PartitionSpec
 def moe_param_specs(params, n_experts: int, axis_name: str = EXPERT_AXIS):
     """PartitionSpecs for an MoE head's param tree: leaves with a leading
     [n_experts] axis shard over ``axis_name``; the router and any other
-    leaves replicate."""
+    leaves replicate.
 
-    def spec(leaf):
+    The router is excluded BY NAME, not only by shape — its [hidden, E]
+    kernel would match the shape heuristic whenever hidden == n_experts
+    and get pointlessly row-sharded (an all-gather per forward)."""
+
+    def spec(path, leaf):
+        last_key = getattr(path[-1], "key", None) if path else None
+        if last_key == "router":
+            return P()
         if leaf.ndim >= 1 and leaf.shape[0] == n_experts:
             return P(axis_name, *([None] * (leaf.ndim - 1)))
         return P()
 
-    return jax.tree_util.tree_map(spec, params)
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def shard_moe_params(params, mesh: Mesh, n_experts: int, axis_name: str = EXPERT_AXIS):

@@ -56,8 +56,9 @@ def opt_state_bytes_per_device(opt_state) -> int:
     total = 0
     for leaf in jax.tree_util.tree_leaves(opt_state):
         if hasattr(leaf, "addressable_shards"):
-            total += sum(int(np.prod(s.data.shape)) * leaf.dtype.itemsize
-                         for s in leaf.addressable_shards[:1])
+            # ONE device's shard — this is per-device accounting, not global
+            shard = leaf.addressable_shards[0]
+            total += int(np.prod(shard.data.shape)) * leaf.dtype.itemsize
         elif hasattr(leaf, "nbytes"):
             total += int(leaf.nbytes)
     return total

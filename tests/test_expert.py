@@ -75,6 +75,44 @@ def test_moe_capacity_drops_overflow_tokens():
     assert (np.abs(expected).sum(-1) == 0).any()
 
 
+def test_l2_normalize_gradient_finite_at_zero_rows():
+    """Capacity-dropped MoE tokens emit exact-zero rows; normalizing them
+    must not NaN the backward pass (models/clip.py::l2_normalize clamps the
+    SQUARED norm before the sqrt)."""
+    from mmgclip_tpu.models.clip import l2_normalize
+
+    x = jnp.asarray([[0.0, 0.0, 0.0], [3.0, 0.0, 4.0]], jnp.float32)
+
+    def loss(x):
+        return jnp.sum(l2_normalize(x) ** 2)
+
+    grads = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(grads)).all()
+    # non-zero rows still normalize exactly
+    np.testing.assert_allclose(
+        np.asarray(l2_normalize(x)[1]), [0.6, 0.0, 0.8], rtol=1e-6
+    )
+
+
+def test_moe_dropped_tokens_train_without_nan():
+    """End-to-end: capacity-1 head (guaranteed drops) through l2_normalize
+    and a contrastive-style loss keeps every gradient finite."""
+    from mmgclip_tpu.models.clip import l2_normalize
+
+    head, variables, x = _init_head(n=12, e=4, capacity_factor=4.0 / 12.0)  # capacity=1
+    out = np.asarray(head.apply(variables, x))
+    assert (np.abs(out).sum(-1) == 0).any(), "fixture must actually drop tokens"
+
+    def loss(params):
+        emb = l2_normalize(head.apply({"params": params}, x))
+        logits = emb @ emb.T
+        return -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(12), jnp.arange(12)])
+
+    value, grads = jax.value_and_grad(loss)(variables["params"])
+    assert np.isfinite(float(value))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+
+
 def test_router_receives_gradient():
     head, variables, x = _init_head(n=8)
 
