@@ -153,6 +153,19 @@ class MoEProjectionHead(nn.Module):
         )
         expert_out = jnp.einsum("ecp,epq->ecq", hidden, w_out) + b_out[:, None, :]
         y = jnp.einsum("nec,ecq->nq", combine, expert_out)
+
+        # Switch load-balancing auxiliary loss: E * sum_e f_e * P_e, where
+        # f_e = fraction of tokens routed to e (hard assignment) and
+        # P_e = mean router probability for e.  Equals 1.0 under perfectly
+        # uniform routing, grows as routing collapses; differentiable through
+        # P_e.  Consumers fetch it via
+        # ``apply(..., mutable=["intermediates"])`` ->
+        # intermediates["aux_loss"]; it is advisory — the reference workload
+        # trains dense heads, so nothing adds it to the objective by default.
+        token_fraction = jnp.mean(expert_onehot.astype(jnp.float32), axis=0)
+        mean_prob = jnp.mean(probs, axis=0)
+        self.sow("intermediates", "aux_loss", e * jnp.sum(token_fraction * mean_prob))
+
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)
 
 

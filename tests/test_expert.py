@@ -75,6 +75,30 @@ def test_moe_capacity_drops_overflow_tokens():
     assert (np.abs(expected).sum(-1) == 0).any()
 
 
+def test_switch_aux_loss_sown():
+    """The head sows the Switch load-balancing loss: 1.0 at perfectly
+    uniform routing, larger when routing collapses, and differentiable
+    through the router."""
+    head, variables, x = _init_head(n=16, e=4)
+    _y, state = head.apply(variables, x, mutable=["intermediates"])
+    aux = float(state["intermediates"]["aux_loss"][0])
+    # E * sum(f_e * P_e) >= 1 always (Cauchy-Schwarz-ish); == 1 iff uniform
+    assert aux >= 1.0 - 1e-5
+
+    def aux_of(params):
+        _y, st = head.apply({"params": params}, x, mutable=["intermediates"])
+        return st["intermediates"]["aux_loss"][0]
+
+    grads = jax.grad(aux_of)(variables["params"])
+    assert float(jnp.abs(grads["router"]).sum()) > 0.0
+
+    # force total collapse: a router that sends everything to expert 0
+    collapsed = dict(variables["params"])
+    collapsed["router"] = jnp.zeros_like(collapsed["router"]).at[:, 0].set(10.0)
+    _y, st = head.apply({"params": collapsed}, x, mutable=["intermediates"])
+    assert float(st["intermediates"]["aux_loss"][0]) > aux
+
+
 def test_l2_normalize_gradient_finite_at_zero_rows():
     """Capacity-dropped MoE tokens emit exact-zero rows; normalizing them
     must not NaN the backward pass (models/clip.py::l2_normalize clamps the
