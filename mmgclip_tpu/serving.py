@@ -26,7 +26,12 @@ import numpy as np
 
 from .config import Config, recompose
 from .data.tokenizer import Tokenizer
-from .evaluation.report_cascade import build_prompt_table, run_cascade, unpack_decisions
+from .evaluation.report_cascade import (
+    build_prompt_table,
+    run_cascade,
+    run_cascade_batch,
+    unpack_decisions,
+)
 from .ingest.encode import load_convnext_tower
 from .ingest.png_reader import decode_png
 from .models.clip import MMGCLIP, l2_normalize
@@ -126,10 +131,13 @@ class InferenceEngine:
         if self._cascade_table is None:
             self._cascade_table = build_prompt_table(self.model, self.params, self.tokenizer)
         table, mask = self._cascade_table
-        out = []
-        for emb in self.image_embeddings(features):
-            out.append(unpack_decisions(run_cascade(emb, table, mask)))  # one scalar fetch
-        return out
+        embeddings = self.image_embeddings(features)
+        if embeddings.shape[0] == 1:
+            # single request: the packed-scalar fetch is the cheapest D2H on
+            # high-latency links (report_cascade.run_cascade docstring)
+            return [unpack_decisions(run_cascade(embeddings[0], table, mask))]
+        packed = np.asarray(run_cascade_batch(embeddings, table, mask))  # one fetch for n reports
+        return [unpack_decisions(p) for p in packed]
 
     def generate_reports(
         self, features: np.ndarray, seed: int = 42, bug_compat: bool = True
