@@ -168,6 +168,29 @@ def test_expert_parallel_matches_replicated():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_expert_parallel_gradients_match_replicated():
+    """Gradients with experts sharded over the expert axis == replicated
+    gradients — EP training is a placement decision for the backward pass
+    too (GSPMD transposes the dispatch/combine all_to_alls)."""
+    head, variables, x = _init_head(n=16, h=16, p=8, e=8)
+
+    def loss(params):
+        return jnp.sum(head.apply({"params": params}, x) ** 2)
+
+    expected = jax.jit(jax.grad(loss))(variables["params"])
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), (EXPERT_AXIS,))
+    sharded = shard_moe_params(variables["params"], mesh, n_experts=8)
+    got = jax.jit(jax.grad(loss))(sharded)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        expected, got,
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
 def test_moe_head_through_mmgclip_config():
     """MMGCLIP builds with the MoE projection config group; extra knobs pass
     through to the head."""

@@ -103,6 +103,32 @@ def test_pipelined_bert_matches_encoder():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-5, atol=2e-5)
 
 
+def test_pipeline_backward_matches_sequential():
+    """The pipeline is DIFFERENTIABLE: grads through the collective-permute
+    schedule equal grads through the sequential scan (XLA transposes the
+    ppermute rotation and the psum combine), i.e. GPipe training semantics,
+    not just a forward-only schedule."""
+    stacked = _stacked_mlp(8, 16, seed=4)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(8, 16)), jnp.float32)
+    mesh = _pipe_mesh(4)
+
+    def loss_pp(params):
+        return jnp.sum(pipeline_forward(_mlp_layer, params, x, mesh) ** 2)
+
+    def loss_seq(params):
+        out = jax.lax.scan(lambda h, p: (_mlp_layer(h, p), None), x, params)[0]
+        return jnp.sum(out ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        g_pp, g_seq,
+    )
+
+
 def test_pipeline_params_actually_sharded():
     """The stacked layer tree shards its leading axis over the pipe axis —
     each stage's addressable shard holds L/S layers."""
