@@ -32,7 +32,14 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def pipeline_spmd(layer_fn: Callable, local_params, microbatches, *, axis_name: str = PIPE_AXIS):
+def pipeline_spmd(
+    layer_fn: Callable,
+    local_params,
+    microbatches,
+    *,
+    axis_name: str = PIPE_AXIS,
+    remat: bool = False,
+):
     """The per-stage program (call inside ``shard_map`` over ``axis_name``).
 
     layer_fn(state, p) -> state: one layer applied to one microbatch's state
@@ -50,7 +57,13 @@ def pipeline_spmd(layer_fn: Callable, local_params, microbatches, *, axis_name: 
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def run_local(state):
-        return jax.lax.scan(lambda h, p: (layer_fn(h, p), None), state, local_params)[0]
+        body = layer_fn
+        if remat:
+            # rematerialize each layer in the backward pass: activation
+            # memory per stage drops from O(L/S) layers to O(1) at the cost
+            # of one extra forward (the standard GPipe+checkpoint recipe)
+            body = jax.checkpoint(layer_fn)
+        return jax.lax.scan(lambda h, p: (body(h, p), None), state, local_params)[0]
 
     def take_micro(t):
         idx = jnp.clip(t, 0, n_micro - 1)
@@ -103,6 +116,7 @@ def pipeline_forward(
     *,
     axis_name: str = PIPE_AXIS,
     num_microbatches: Optional[int] = None,
+    remat: bool = False,
 ):
     """Run ``state`` through all L stacked layers, pipelined over the mesh's
     ``axis_name`` dimension.  Equals ``lax.scan(layer_fn, state, stacked)``.
@@ -123,7 +137,7 @@ def pipeline_forward(
         lambda x: x.reshape(n_micro, batch // n_micro, *x.shape[1:]), state
     )
     fn = jax.shard_map(
-        partial(pipeline_spmd, layer_fn, axis_name=axis_name),
+        partial(pipeline_spmd, layer_fn, axis_name=axis_name, remat=remat),
         mesh=mesh,
         in_specs=(stacked_layer_specs(stacked_params, axis_name), P()),
         out_specs=P(),

@@ -128,6 +128,18 @@ def test_pipeline_backward_matches_sequential():
         g_pp, g_seq,
     )
 
+    # remat=True (per-layer rematerialization) changes memory, not numerics
+    def loss_remat(params):
+        return jnp.sum(pipeline_forward(_mlp_layer, params, x, mesh, remat=True) ** 2)
+
+    g_remat = jax.grad(loss_remat)(stacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        g_remat, g_seq,
+    )
+
 
 def test_pipeline_params_actually_sharded():
     """The stacked layer tree shards its leading axis over the pipe axis —
