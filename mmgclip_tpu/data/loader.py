@@ -37,7 +37,9 @@ class DataLoader:
         self._epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        # with a sampler the per-class remainder is dropped, so count its
+        # actual yield, not len(dataset)
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

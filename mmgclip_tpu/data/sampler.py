@@ -28,14 +28,21 @@ class ImbalancedDatasetSampler:
         self.weights = 1.0 / counts[order]
 
     def __iter__(self) -> Iterator[int]:
+        # one draw per class up front (O(n) RNG work), then round-robin —
+        # same iid-uniform-per-class distribution and interleaving as the
+        # reference's per-round redraws (reference: datasampler.py:52-56,
+        # which draws size=per_class each round and takes one)
         per_class = self.num_samples // len(self.class_indices)
-        for _ in range(per_class):
-            picks = [
-                self._rng.choice(indices, size=per_class, replace=True)
-                for indices in self.class_indices
-            ]
+        picks = [
+            self._rng.choice(indices, size=per_class, replace=True)
+            for indices in self.class_indices
+        ]
+        for i in range(per_class):
             for class_picks in picks:
-                yield int(class_picks[0])
+                yield int(class_picks[i])
 
     def __len__(self) -> int:
-        return self.num_samples
+        # the TRUE yield count: per-class remainder is dropped by the
+        # round-robin, so n - (n % k), not n
+        per_class = self.num_samples // len(self.class_indices)
+        return per_class * len(self.class_indices)

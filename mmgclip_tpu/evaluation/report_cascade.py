@@ -137,11 +137,20 @@ def unpack_decisions(packed: int) -> Dict[str, int]:
 
 
 def decide(model, params, tokenizer, image_features) -> Dict[str, int]:
-    """Convenience wrapper: features -> dict of decision indices."""
+    """Convenience wrapper: features -> dict of decision indices.
+
+    The prompt table depends only on (params, tokenizer); it is cached on
+    the model instance so repeated calls never re-run the frozen text tower
+    (serving keeps its own cache — mmgclip_tpu/serving.py)."""
     feats = jnp.asarray(image_features)
     if feats.ndim == 1:
         feats = feats[None, :]
     flat = model.apply_image_tower(params, feats)
     emb = l2_normalize(model.project_image(params, flat, train=False))[0]
-    table, mask = build_prompt_table(model, params, tokenizer)
+    cache_key = id(params)
+    cached = getattr(model, "_cascade_table_cache", None)
+    if cached is None or cached[0] != cache_key:
+        table, mask = build_prompt_table(model, params, tokenizer)
+        model._cascade_table_cache = (cache_key, table, mask)
+    _, table, mask = model._cascade_table_cache
     return unpack_decisions(run_cascade(emb, table, mask))  # one scalar fetch
