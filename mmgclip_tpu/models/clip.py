@@ -32,7 +32,9 @@ from .projections import get_projection_head
 from .resnet import ResNetConfig, ResNet50Encoder
 
 
-def _bert_config_from(config: Config, vocab_size: Optional[int]) -> BertConfig:
+def _text_tower_config_from(config: Config, vocab_size: Optional[int], config_cls):
+    """Shared YAML-override extraction for every text-tower config dataclass
+    (BertConfig / GPTConfig): size keys, vocab fallback, dtype."""
     overrides = config.get_path("networks.text_encoder.config", {}) or {}
     kwargs = {}
     for key in (
@@ -49,7 +51,11 @@ def _bert_config_from(config: Config, vocab_size: Optional[int]) -> BertConfig:
         kwargs["vocab_size"] = int(vocab_size)
     if "dtype" in overrides:
         kwargs["dtype"] = resolve_dtype(overrides["dtype"])
-    return BertConfig(**kwargs)
+    return config_cls(**kwargs)
+
+
+def _bert_config_from(config: Config, vocab_size: Optional[int]) -> BertConfig:
+    return _text_tower_config_from(config, vocab_size, BertConfig)
 
 
 def resolve_dtype(name) -> Any:
@@ -96,18 +102,7 @@ class MMGCLIP:
         if text_encoder_name in ("CausalTextEncoder", "BioGptEncoder", "GPTEncoder"):
             from .gpt import CausalTextEncoder, GPTConfig
 
-            overrides = config.get_path("networks.text_encoder.config", {}) or {}
-            kwargs = {
-                k: int(overrides[k])
-                for k in (
-                    "vocab_size", "hidden_size", "num_hidden_layers",
-                    "num_attention_heads", "intermediate_size", "max_position_embeddings",
-                )
-                if k in overrides
-            }
-            if vocab_size is not None and "vocab_size" not in kwargs:
-                kwargs["vocab_size"] = int(vocab_size)
-            self.bert_config = GPTConfig(**kwargs)
+            self.bert_config = _text_tower_config_from(config, vocab_size, GPTConfig)
             self.text_module = CausalTextEncoder(self.bert_config)
         else:
             self.bert_config = _bert_config_from(config, vocab_size)
@@ -136,10 +131,13 @@ class MMGCLIP:
         # --- optional trainable image tower (ResNet-50 ablation path) --
         self.image_module = None
         image_encoder_params = None
+        self._image_tower_dim = self.image_features_dimension
         if image_encoder_name == "ResNet50Encoder":
             rn_overrides = config.get_path("networks.image_encoder.config", {}) or {}
             rn_config = ResNetConfig.micro() if rn_overrides.get("micro") else ResNetConfig.resnet50()
             self.image_module = ResNet50Encoder(rn_config)
+            # pooled output width (width*32: 2048 for resnet50, 256 for micro)
+            self._image_tower_dim = int(rn_config.width) * 32
             dummy = jnp.zeros((1, self.image_features_dimension), jnp.float32)
             self.image_variables = jax.jit(self.image_module.init)(jax.random.key(seed + 1), dummy)
             image_encoder_params = self.image_variables["params"]
@@ -151,13 +149,12 @@ class MMGCLIP:
         dropout = float(config.get_path("networks.dropout.config.dropout", 0.0))
         self.image_projection = None
         self.text_projection = None
+        self._head_state = {"image_projection": {}, "text_projection": {}}
         trainable: Dict[str, Any] = {}
         if projection_name != "ZeroProjection":
             head_cls = get_projection_head(projection_name)
             proj_dim = config.projection.config.output_projection_dimension
-            image_in = (
-                2048 if image_encoder_name == "ResNet50Encoder" else self.image_features_dimension
-            )
+            image_in = self._image_tower_dim
             # pass through any extra knobs the head declares (e.g. the MoE
             # head's n_experts / capacity_factor) from the projection config
             extra = {
@@ -174,12 +171,19 @@ class MMGCLIP:
             )
             img_dummy = jnp.zeros((1, image_in), jnp.float32)
             txt_dummy = jnp.zeros((1, self.text_output_dimension), jnp.float32)
-            trainable["image_projection"] = jax.jit(self.image_projection.init)(
-                jax.random.key(seed + 2), img_dummy
-            )["params"]
-            trainable["text_projection"] = jax.jit(self.text_projection.init)(
-                jax.random.key(seed + 3), txt_dummy
-            )["params"]
+            img_vars = jax.jit(self.image_projection.init)(jax.random.key(seed + 2), img_dummy)
+            txt_vars = jax.jit(self.text_projection.init)(jax.random.key(seed + 3), txt_dummy)
+            trainable["image_projection"] = img_vars["params"]
+            trainable["text_projection"] = txt_vars["params"]
+            # non-trainable head collections (the BatchNorm head's
+            # batch_stats): held on the model, threaded into apply.  Stats
+            # stay at init — train mode normalizes with current-batch
+            # statistics (flax use_running_average=False ignores the
+            # collection), eval normalizes with the init stats
+            self._head_state = {
+                "image_projection": {k: v for k, v in img_vars.items() if k != "params"},
+                "text_projection": {k: v for k, v in txt_vars.items() if k != "params"},
+            }
             logger.info(
                 f"Embeddings projected to {proj_dim} features using {projection_name}."
             )
@@ -219,21 +223,29 @@ class MMGCLIP:
         )
         return eos_pool(hidden, text_tokens["attention_mask"])
 
+    def _apply_head(self, module, name: str, params: Dict, features, train: bool, rng):
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        variables = {"params": params[name], **self._head_state[name]}
+        # heads with non-param state (the BatchNorm head) write batch_stats
+        # in train mode; mark it mutable and discard the update (stats stay
+        # at init — see __init__)
+        mutable = [k for k in self._head_state[name]] if train else False
+        if mutable:
+            out, _updates = module.apply(
+                variables, features, deterministic=not train, rngs=rngs, mutable=mutable
+            )
+            return out
+        return module.apply(variables, features, deterministic=not train, rngs=rngs)
+
     def project_image(self, params: Dict, features, train: bool = False, rng=None):
         if self.image_projection is None:
             return features
-        rngs = {"dropout": rng} if (train and rng is not None) else None
-        return self.image_projection.apply(
-            {"params": params["image_projection"]}, features, deterministic=not train, rngs=rngs
-        )
+        return self._apply_head(self.image_projection, "image_projection", params, features, train, rng)
 
     def project_text(self, params: Dict, features, train: bool = False, rng=None):
         if self.text_projection is None:
             return features
-        rngs = {"dropout": rng} if (train and rng is not None) else None
-        return self.text_projection.apply(
-            {"params": params["text_projection"]}, features, deterministic=not train, rngs=rngs
-        )
+        return self._apply_head(self.text_projection, "text_projection", params, features, train, rng)
 
     def forward(
         self,
@@ -286,7 +298,8 @@ class MMGCLIP:
     def count_parameters(self, params: Optional[Dict] = None) -> int:
         params = params if params is not None else self.trainable_params
         leaves = jax.tree_util.tree_leaves(params)
-        total = int(sum(np.prod(np.asarray(leaf).shape) for leaf in leaves))
+        # shapes only — never np.asarray a leaf (full D2H per tensor)
+        total = int(sum(np.prod(getattr(leaf, "shape", ()) or (1,)) for leaf in leaves))
         logger.info(f"Total Trainable Params: {total}")
         return total
 
@@ -295,8 +308,9 @@ class PromptClassifier:
     """Zero-shot wrapper (reference: mmgclip_model.py:168-249).
 
     Tokenizes an arbitrary prompt list, runs one forward, softmaxes
-    ``logits_per_image``.  ``precompute(class_list)`` caches the prompt-bank
-    text embeddings so repeated cascade steps cost one matmul each.
+    ``logits_per_image``.  ``encode_prompts(class_list)`` caches the
+    prompt-bank text embeddings (invalidated when ``params`` is swapped) so
+    repeated cascade steps cost one matmul each.
     """
 
     def __init__(self, model: MMGCLIP, tokenizer, params: Optional[Dict] = None):
@@ -304,8 +318,15 @@ class PromptClassifier:
         self.tokenizer = tokenizer
         self.params = params if params is not None else model.trainable_params
         self._text_cache: Dict[tuple, jnp.ndarray] = {}
+        self._cache_params_id = id(self.params)
 
     def encode_prompts(self, class_list) -> jnp.ndarray:
+        if id(self.params) != self._cache_params_id:
+            # params were swapped (new checkpoint / further training) —
+            # cached embeddings would silently mix old text with new image
+            # projections
+            self._text_cache.clear()
+            self._cache_params_id = id(self.params)
         key = tuple(class_list)
         if key not in self._text_cache:
             tokens = self.tokenizer(
@@ -330,9 +351,14 @@ class PromptClassifier:
         logit_scale = jnp.exp(self.params["logit_scale"])
         logits = logit_scale * image_embeddings @ text_embeddings.T
         sims = jax.nn.softmax(logits, axis=-1)
+        argmax_all = jnp.argmax(sims, axis=-1)
         return {
             "classes_similarities": sims,
-            "similarities_argmax": int(jnp.argmax(sims, axis=-1)[0]),
+            # first image only — the reference's contract
+            # (reference: mmgclip_model.py:208 `argmax(...)[0].item()`);
+            # batch callers read similarities_argmax_per_image
+            "similarities_argmax": int(argmax_all[0]),
+            "similarities_argmax_per_image": [int(v) for v in argmax_all],
             "class_list": list(class_list),
         }
 

@@ -12,6 +12,7 @@ compute instead of going through XLA's combiner.
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -54,38 +55,48 @@ def axis_index(axis_name: str = DATA_AXIS):
 # ----------------------------------------------------------------------
 
 
-def _ring_all_gather_kernel(local_ref, out_ref, comm_buf, send_sem, recv_sem, *, num_devices: int, axis_name: str):
-    """Unidirectional ring: each step forwards the chunk received last step
-    to the right neighbor while copying it into the output."""
+def _ring_all_gather_kernel(local_ref, out_ref, send_sems, recv_sems, *, num_devices: int, axis_name: str):
+    """Unidirectional ring, race-free by construction: every transfer lands
+    directly in a distinct ``out_ref`` slot (each slot written exactly once,
+    and only forwarded after the local wait for its arrival), and every step
+    uses its own DMA semaphore pair — no slot or semaphore reuse, so a
+    run-ahead neighbor can never overwrite a chunk an outgoing DMA is still
+    reading (the hazard a shared double-buffer design has)."""
     my_id = jax.lax.axis_index(axis_name)
     chunk = local_ref.shape[0]
 
-    # own chunk straight into the output slot
+    # own chunk into its output slot
     out_ref[pl.ds(my_id * chunk, chunk), :] = local_ref[...]
-    comm_buf[0] = local_ref[...]
 
     def step(i, _):
-        send_slot = i % 2
-        recv_slot = (i + 1) % 2
         dst = jax.lax.rem(my_id + 1, num_devices)
+        # forward the chunk originated by (my_id - i): my own chunk at step
+        # 0, afterwards the one that arrived in the previous step
+        src_device = jax.lax.rem(my_id - i + num_devices, num_devices)
         rdma = pltpu.make_async_remote_copy(
-            src_ref=comm_buf.at[send_slot],
-            dst_ref=comm_buf.at[recv_slot],
-            send_sem=send_sem.at[send_slot],
-            recv_sem=recv_sem.at[recv_slot],
+            src_ref=out_ref.at[pl.ds(src_device * chunk, chunk), :],
+            dst_ref=out_ref.at[pl.ds(src_device * chunk, chunk), :],
+            send_sem=send_sems.at[i],
+            recv_sem=recv_sems.at[i],
             device_id=dst,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
         rdma.start()
+        # waits BOTH my send completion and the symmetric arrival from my
+        # left neighbor (which fills slot (my_id - i - 1), read at step i+1)
         rdma.wait()
-        src_device = jax.lax.rem(my_id - i - 1 + 2 * num_devices, num_devices)
-        out_ref[pl.ds(src_device * chunk, chunk), :] = comm_buf[recv_slot]
         return 0
 
     jax.lax.fori_loop(0, num_devices - 1, step, 0)
 
 
-def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False):
+# distinct collective_id per traced call site: two ring gathers in one
+# compiled program must not share barrier/semaphore state (Pallas requires
+# concurrent collectives to carry different ids)
+_collective_ids = itertools.count(1)
+
+
+def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, collective_id=None):
     """All-gather the leading axis around the ring with Pallas RDMA.
 
     x: local shard [chunk, d] inside a shard_map over `axis_name`.
@@ -97,6 +108,8 @@ def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False):
     if chunk % 8 or d % 128:
         return jax.lax.all_gather(x, axis_name, tiled=True)
 
+    if collective_id is None:
+        collective_id = next(_collective_ids) % 64
     out_shape = jax.ShapeDtypeStruct((chunk * num_devices, d), x.dtype, vma=frozenset({axis_name}))
     return pl.pallas_call(
         functools.partial(_ring_all_gather_kernel, num_devices=num_devices, axis_name=axis_name),
@@ -104,10 +117,9 @@ def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, d), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((num_devices - 1,)),
+            pltpu.SemaphoreType.DMA((num_devices - 1,)),
         ],
-        compiler_params=pltpu.CompilerParams(collective_id=7),
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
         interpret=interpret,
     )(x)

@@ -72,12 +72,11 @@ def global_mmgclip_loss(
     """Global-batch MMGCLIPLoss: CLIP term + text-to-text impression term."""
     clip_term, labels = global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name)
 
-    local_n = text_embeddings.shape[0]
-    shard = _shard_index(axis_name)
+    # reuse the CLIP term's labels; the text gather below is textually a
+    # repeat of the one inside global_clip_loss but XLA CSE emits it once
     all_text = jax.lax.all_gather(text_embeddings, axis_name, tiled=True)
     all_text2 = jax.lax.all_gather(text_embeddings2, axis_name, tiled=True)
     logits_t2t1 = logit_scale * text_embeddings2 @ all_text.T
     logits_t1t2 = logit_scale * text_embeddings @ all_text2.T
-    labels = shard * local_n + jnp.arange(local_n)
     t2t = (_cross_entropy(logits_t2t1, labels) + _cross_entropy(logits_t1t2, labels)) / 2.0
     return clip_term + t2t_weight * jax.lax.pmean(t2t, axis_name), labels

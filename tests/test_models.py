@@ -285,3 +285,84 @@ def test_mmgclip_with_causal_text_tower():
     out = model.forward(model.trainable_params, batch)
     assert out["logits_per_image"].shape == (4, 4)
     assert np.isfinite(np.asarray(out["logits_per_image"])).all()
+
+
+def test_batchnorm_projection_head_forward_and_train():
+    """ProjectionHead (the BatchNorm head) must run: its batch_stats
+    collection lives on the model, threaded into apply; train mode
+    normalizes with current-batch statistics and discards stat updates."""
+    cfg = tiny_config()
+    cfg.projection.config.projection_name = "ProjectionHead"
+    cfg.projection.config.output_projection_dimension = 16
+    model = MMGCLIP(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(4, 768)), jnp.float32)
+
+    out_eval = model.project_image(model.trainable_params, feats, train=False)
+    assert out_eval.shape == (4, 16)
+    out_train = model.project_image(
+        model.trainable_params, feats, train=True, rng=jax.random.key(0)
+    )
+    assert out_train.shape == (4, 16)
+    assert np.isfinite(np.asarray(out_eval)).all()
+    assert np.isfinite(np.asarray(out_train)).all()
+
+    # gradients flow through the head in train mode
+    def loss(p):
+        return jnp.sum(model.project_image(p, feats, train=True, rng=jax.random.key(1)) ** 2)
+
+    grads = jax.grad(loss)(model.trainable_params)
+    assert float(jnp.abs(grads["image_projection"]["hidden_0"]["kernel"]).sum()) > 0
+
+
+def test_micro_resnet_projection_dim_matches_tower():
+    """The projection input width follows the ResNet variant's actual pooled
+    output (width*32), not a hardcoded 2048."""
+    cfg = tiny_config()
+    cfg.networks.image_encoder = Config(
+        {
+            "name": "ResNet50Encoder",
+            "image_features_dimension": 768,
+            "convnext_tiny_clf_path": "",
+            "config": {"micro": True},
+        }
+    )
+    model = MMGCLIP(cfg, seed=0)
+    feats = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1, 768, 1, 1)), jnp.float32)
+    batch = {
+        "image_features": feats,
+        "text_tokens": {
+            "input_ids": jnp.zeros((2, 8), jnp.int32),
+            "attention_mask": jnp.ones((2, 8), jnp.int32),
+            "token_type_ids": jnp.zeros((2, 8), jnp.int32),
+        },
+    }
+    out = model.forward(model.trainable_params, batch)
+    assert out["logits_per_image"].shape == (2, 2)
+    assert np.isfinite(np.asarray(out["logits_per_image"])).all()
+
+
+def test_prompt_classifier_cache_invalidates_on_param_swap():
+    cfg = tiny_config()
+    model = MMGCLIP(cfg, seed=0)
+    tokenizer = Tokenizer.from_pretrained("wordpiece", sequence_length=16)
+    clf = PromptClassifier(model, tokenizer)
+    prompts = ["benign finding", "malignant finding"]
+    emb_old = np.asarray(clf.encode_prompts(prompts))
+
+    # new params (different seed) must refresh the cached text embeddings
+    clf.params = MMGCLIP(cfg, seed=1).trainable_params
+    emb_new = np.asarray(clf.encode_prompts(prompts))
+    assert not np.allclose(emb_old, emb_new)
+
+
+def test_prompt_classifier_batched_argmax_per_image():
+    cfg = tiny_config()
+    model = MMGCLIP(cfg, seed=0)
+    tokenizer = Tokenizer.from_pretrained("wordpiece", sequence_length=16)
+    clf = PromptClassifier(model, tokenizer)
+    feats = np.random.default_rng(0).normal(size=(3, 1, 768, 1, 1)).astype(np.float32)
+    out = clf(feats, ["class a", "class b"])
+    assert len(out["similarities_argmax_per_image"]) == 3
+    # reference contract: the scalar field is the FIRST image's argmax
+    assert out["similarities_argmax"] == out["similarities_argmax_per_image"][0]
