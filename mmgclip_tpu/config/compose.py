@@ -183,6 +183,10 @@ def compose(
         if group == "_self_":
             _merge(cfg, copy.deepcopy(top))
             continue
+        if group is None:
+            # bare-string defaults entry: merge configs/<name>.yaml at the top
+            _merge(cfg, _load_yaml(os.path.join(config_dir, _strip_yaml_suffix(str(name)) + ".yaml")))
+            continue
         name = _strip_yaml_suffix(str(name))
         group_path = os.path.join(config_dir, group.replace(".", "/"), name + ".yaml")
         group_cfg = _load_yaml(group_path)
@@ -206,7 +210,17 @@ def compose(
         group_path = os.path.join(config_dir, key.replace(".", "/"))
         candidate = os.path.join(group_path, _strip_yaml_suffix(raw.strip()) + ".yaml")
         if os.path.isdir(group_path) and os.path.isfile(candidate):
-            cfg.set_path(key.replace("/", "."), Config(_load_yaml(candidate)))
+            # merge INTO the existing node rather than replace it wholesale:
+            # a group override (dataset=multi-label) must not wipe sibling
+            # nested-group content composed from the defaults list
+            # (dataset.percentage, networks.dropout)
+            dotted = key.replace("/", ".")
+            existing = cfg.get_path(dotted)
+            new_cfg = Config(_load_yaml(candidate))
+            if isinstance(existing, dict):
+                _merge(existing, new_cfg)
+            else:
+                cfg.set_path(dotted, new_cfg)
         else:
             cfg.set_path(key, _yaml_load(raw))
 

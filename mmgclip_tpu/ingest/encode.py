@@ -195,7 +195,8 @@ class _Encoder:
         def submit(chunk, shape):
             if rounding:
                 valid_hw = np.asarray([arr.shape[:2] for _k, arr in chunk], np.int32)
-                pixels = np.zeros((len(chunk), *shape), chunk[0][1].dtype)
+                canvas_hw = shape[:2]  # bucket key is (H, W, dtype-str)
+                pixels = np.zeros((len(chunk), *canvas_hw), chunk[0][1].dtype)
                 for i, (_k, arr) in enumerate(chunk):
                     pixels[i, : arr.shape[0], : arr.shape[1]] = arr
                 device_pixels, valid = self._to_device(pixels)
@@ -217,15 +218,42 @@ class _Encoder:
                 submit(bucket[start : start + self.batch_size], shape)
 
         def bucket_shape(pixels):
+            # dtype is part of the key: np.stack would silently promote a
+            # mixed uint8/uint16 bucket to uint16, and the intensity
+            # transform branches on dtype (8-bit pixels would normalize as
+            # if 16-bit -> near-constant -1 images, garbage features)
             if not rounding:
-                return pixels.shape[:2]
-            return tuple(-(-dim // rounding) * rounding for dim in pixels.shape[:2])
+                return (*pixels.shape[:2], pixels.dtype.str)
+            return (
+                *(-(-dim // rounding) * rounding for dim in pixels.shape[:2]),
+                pixels.dtype.str,
+            )
 
         with ThreadPoolExecutor(max_workers=self.decode_threads) as pool:
-            decoded = pool.map(
-                lambda item: (item, self._safe_decode(item[0], failed_path)), items
-            )
-            for (src, key), pixels in decoded:
+            # bounded in-flight window — Executor.map submits every item
+            # eagerly, which would buffer the whole dataset's decoded pixels
+            # (full-res mammograms) when the device side is the bottleneck
+            from collections import deque
+
+            window = max(2 * self.batch_size, 2 * self.decode_threads)
+            inflight: deque = deque()
+            item_iter = iter(items)
+
+            def refill():
+                while len(inflight) < window:
+                    try:
+                        item = item_iter.__next__()
+                    except StopIteration:
+                        return
+                    inflight.append(
+                        (item, pool.submit(self._safe_decode, item[0], failed_path))
+                    )
+
+            refill()
+            while inflight:
+                (_src, key), future = inflight.popleft()
+                pixels = future.result()
+                refill()  # keep the decode window full while we consume
                 if pixels is None:
                     continue
                 shape = bucket_shape(pixels)
@@ -300,10 +328,13 @@ class StudyFeatureExtractor(_Encoder):
         failed = os.path.join(create_directory_if_not_exists(self.export_dir), "failed.txt")
 
         # enumerate all (view_path, study_key) pairs, batch-encode through the
-        # shared shape-bucketed pipeline, then fuse per study
+        # shared shape-bucketed pipeline, then fuse per study.  Multi-host:
+        # shard at STUDY granularity (a study's views must stay on one host
+        # for the fusion step)
         items: List[Tuple[str, str]] = []
         study_paths: List[str] = []
-        for _, row in self.dataset.iterrows():
+        rows = shard_items_for_host([row for _, row in self.dataset.iterrows()])
+        for row in rows:
             study_path = row["study_path"]
             try:
                 views = sorted(os.listdir(study_path))[:n_views]

@@ -79,7 +79,9 @@ class InferenceEngine:
         buckets = defaultdict(list)
         for i, path in enumerate(paths):
             pixels = decode_png(path)
-            buckets[pixels.shape].append((i, pixels))
+            # dtype in the key: stacking mixed uint8/uint16 would promote to
+            # uint16 and mis-scale the intensity transform (see ingest)
+            buckets[(*pixels.shape, pixels.dtype.str)].append((i, pixels))
         out = np.zeros((len(paths), self.cn_config.dims[-1]), np.float32)
         for _shape, items in buckets.items():
             stack = jnp.asarray(np.stack([px for _i, px in items]))
@@ -142,13 +144,12 @@ class InferenceEngine:
     def generate_reports(
         self, features: np.ndarray, seed: int = 42, bug_compat: bool = True
     ) -> List[str]:
-        import importlib
+        from .evaluation.report_text import generate_report
 
-        gr = importlib.import_module("generate_report")
         texts = []
         for decisions in self.cascade_decisions(features):
             texts.append(
-                gr.generate_report(decisions, rng=random.Random(seed), bug_compat=bug_compat)[0]
+                generate_report(decisions, rng=random.Random(seed), bug_compat=bug_compat)[0]
             )
         return texts
 

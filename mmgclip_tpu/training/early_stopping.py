@@ -23,8 +23,11 @@ class EarlyStopper:
         score = -validation_loss
         if self.best_score is None or score >= self.best_score + self.delta:
             self.best_score = score
-            self._save(validation_loss, epoch, params, opt_state, path, rng_key)
+            # reset BEFORE saving: the checkpoint persists `counter`, and
+            # resume() restores it — saving the stale pre-reset value would
+            # make a resumed run early-stop almost immediately
             self.counter = 0
+            self._save(validation_loss, epoch, params, opt_state, path, rng_key)
         else:
             self.counter += 1
             self.trace_func(f"EarlyStopping counter: {self.counter} out of {self.patience}")

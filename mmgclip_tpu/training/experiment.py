@@ -307,13 +307,23 @@ class ClassifierExperiment:
 
     # ------------------------------------------------------------------
     def _probe_embeddings(self, prompts) -> jnp.ndarray:
-        tokens = self.tokenizer(
-            prompts, padding="max_length", truncation=True,
-            max_length=int(self.config.tokenizer.config.sequence_length),
-        )
-        tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
-        pooled = self.model.apply_text_tower(tokens)
-        return l2_normalize(self.model.project_text(self.params, pooled, train=False))
+        # the tokenization + frozen-tower forward depends only on the fixed
+        # probe prompts — cache the POOLED activations across epochs (the
+        # tower is frozen; only the projection below sees updated params).
+        # An unjitted tower forward per epoch is especially slow on the
+        # high-latency device link.
+        key = tuple(prompts)
+        cache = getattr(self, "_probe_pooled_cache", None)
+        if cache is None:
+            cache = self._probe_pooled_cache = {}
+        if key not in cache:
+            tokens = self.tokenizer(
+                prompts, padding="max_length", truncation=True,
+                max_length=int(self.config.tokenizer.config.sequence_length),
+            )
+            tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
+            cache[key] = self.model.apply_text_tower(tokens)
+        return l2_normalize(self.model.project_text(self.params, cache[key], train=False))
 
     def validate(self):
         metrics_list = self.config.experiments.config.metrics

@@ -74,3 +74,12 @@ def test_config_attr_access_and_paths():
     cfg.set_path("a.b.d", 2)
     assert cfg.a.b.d == 2
     assert cfg.get_path("missing.key", "fallback") == "fallback"
+
+
+def test_group_override_preserves_sibling_groups():
+    """dataset=multi-label must swap the dataset group's content while the
+    separately-composed dataset/percentage and networks/dropout nodes stay."""
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf", overrides=["dataset=multi-label"])
+    assert cfg.dataset.config.search_col == "mass_shape"  # swapped
+    assert cfg.dataset.percentage.name == "100percent"  # preserved
+    assert "dropout" in cfg.networks  # untouched sibling group

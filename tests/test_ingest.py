@@ -130,3 +130,45 @@ def test_shard_items_for_host():
     assert all(len(s) in (3, 4) for s in shards)
     # single-process default covers everything
     assert shard_items_for_host(items) == items
+
+
+def test_mixed_dtype_buckets_do_not_mix(tmp_path):
+    """Same-shape 8-bit and 16-bit PNGs must encode in SEPARATE buckets:
+    np.stack would promote uint8 to uint16 without rescaling and the
+    intensity transform would normalize 0-255 values as if 16-bit
+    (near-constant -1 input, silently garbage features)."""
+    import jax.numpy as jnp
+    import pandas as pd
+    from PIL import Image
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+    from mmgclip_tpu.ingest.png_reader import decode_png
+
+    CONFIG_DIR = os.path.join(REPO, "configs")
+    cfg = compose(CONFIG_DIR, "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.base.features_export_dir = str(tmp_path / "enc")
+
+    rng = np.random.default_rng(0)
+    p8 = str(tmp_path / "img8.png")
+    p16 = str(tmp_path / "img16.png")
+    Image.fromarray(rng.integers(0, 256, (48, 48), dtype=np.uint8), mode="L").save(p8)
+    Image.fromarray(rng.integers(0, 65535, (48, 48)).astype(np.uint16)).save(p16)
+
+    extractor = ImageFeatureExtractor(
+        config=cfg, dataset=pd.DataFrame({"image_path": [p8, p16]}), batch_size=4
+    )
+    assert extractor.extract() == 2
+
+    encode = extractor._encode_fn()
+
+    def stored(path):
+        out = os.path.join(
+            str(tmp_path / "enc"), *path.strip(os.sep).split(os.sep)[-4:]
+        ).replace(".png", ".npy")
+        return np.load(out).reshape(1, -1)
+
+    for path in (p8, p16):
+        solo = np.asarray(encode(jnp.asarray(decode_png(path)[None])))
+        np.testing.assert_allclose(stored(path), solo, atol=1e-4)
