@@ -139,6 +139,11 @@ def generate_label_prompt_sentence(
     ``{E}`` is the label expression (string or comma-joined list); each ``{R}``
     is a distinct random adverb from the shared selection bank
     (reference: generator.py:306-349).
+
+    Note the default ``n=20`` is kept for signature parity but exceeds every
+    template bank's size (max 8), so calling with defaults raises — exactly
+    as it does in the reference (its banks are byte-identical); all real
+    callers pass ``n=1``.
     """
     rnd = _rng(rng)
     bank = template_bank(template) if template else template_bank("HAS_MASS")
