@@ -97,8 +97,13 @@ def bench_encode() -> dict:
     windows = int(os.environ.get("BENCH_WINDOWS", 4))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 
-    unroll = os.environ.get("BENCH_UNROLL", "true")
-    unroll = True if unroll == "true" else int(unroll)
+    unroll = os.environ.get("BENCH_UNROLL", "true").strip().lower()
+    if unroll in ("true", "yes"):
+        unroll = True
+    elif unroll in ("false", "no"):
+        unroll = 1  # lax.scan unroll=1 == no unrolling
+    else:
+        unroll = int(unroll)
     config = ConvNeXtConfig(in_channels=1, dtype=dtype, unroll_blocks=unroll)
     module, params = init_convnext(config, seed=0, image_size=size)
     params = jax.tree_util.tree_map(

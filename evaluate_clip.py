@@ -20,7 +20,10 @@ def main() -> None:
         help="Run folder inside outputs/, e.g. 'yyyy-mm-dd/XX-XX-XX'.",
     )
     parser.add_argument(
-        "--train_split", type=bool, default=True,
+        "--train_split",
+        # argparse type=bool would accept ANY non-empty string as True
+        type=lambda s: s.strip().lower() not in ("false", "0", "no", ""),
+        default=True,
         help="Replay the training-time split (only True is supported).",
     )
     parser.add_argument(
@@ -29,20 +32,25 @@ def main() -> None:
     )
     args = parser.parse_args()
 
-    experiment_folders = args.experiment_path
-    experiment_path = os.path.join("outputs", experiment_folders)
+    # accept either the reference's relative form ('yyyy-mm-dd/XX-XX-XX'
+    # inside outputs/) or an absolute run directory; all export paths derive
+    # from the SAME resolved directory so results land inside the run
+    experiment_path = args.experiment_path
+    if not os.path.isabs(experiment_path):
+        experiment_path = os.path.join("outputs", experiment_path)
     if not os.path.isdir(experiment_path) or "checkpoints" not in os.listdir(experiment_path):
         raise ValueError(
-            "Wrong value for `experiment_path`. Pass the folder inside outputs/, "
-            "e.g. 'yyyy-mm-dd/XX-XX-XX' (without the leading 'outputs/')."
+            "Wrong value for `experiment_path`. Pass the folder inside outputs/ "
+            "('yyyy-mm-dd/XX-XX-XX', without the leading 'outputs/') or an "
+            "absolute run directory."
         )
     assert args.train_split, "Only train_split=True is supported."
 
     cfg = recompose(experiment_path)
-    cfg.base.export_dir = f"outputs/{experiment_folders}"
+    cfg.base.export_dir = experiment_path
     cfg.base.features_export_dir = cfg.get_path("base.features_export_dir", "outputs/dataset")
-    cfg.base.results_export_dir = f"outputs/{experiment_folders}/{args.run_name}"
-    cfg.checkpoints.checkpoints_export_dir = f"outputs/{experiment_folders}/checkpoints"
+    cfg.base.results_export_dir = os.path.join(experiment_path, args.run_name)
+    cfg.checkpoints.checkpoints_export_dir = os.path.join(experiment_path, "checkpoints")
 
     mmgclip_tpu.seeding(int(cfg.base.seed))
 

@@ -85,9 +85,14 @@ int mmg_png_decode_gray(const char* path, void* out, size_t out_bytes) {
   // normalize every input to single-channel gray at the native bit depth
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  const bool has_trns = png_get_valid(png, info, PNG_INFO_tRNS);
+  if (has_trns) png_set_tRNS_to_alpha(png);
   if (color_type & PNG_COLOR_MASK_COLOR) png_set_rgb_to_gray_fixed(png, 1, -1, -1);
-  if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // strip alpha whether it came from the color type OR from a tRNS chunk
+  // (gray/palette PNGs lack the alpha mask bit but tRNS_to_alpha above
+  // still adds a channel — without this the rowbytes double and decode
+  // fails the size check)
+  if ((color_type & PNG_COLOR_MASK_ALPHA) || has_trns) png_set_strip_alpha(png);
   if (bit_depth == 16) png_set_swap(png);  // PNG is big-endian; emit host LE
 
   png_read_update_info(png, info);

@@ -79,18 +79,23 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
 
     async def client(reader, writer):
         while True:
-            line = await reader.readline()
-            if not line:
-                break
-            line = line.strip()
-            if not line:
-                continue
             rid = None
             try:
+                # readline inside the try: an over-limit line raises
+                # ValueError and must produce an error response, not a dead
+                # connection
+                line = await reader.readline()
+                if not line:
+                    break
+                line = line.strip()
+                if not line:
+                    continue
                 request = json.loads(line)
                 rid = request.get("id")
                 result = await loop.run_in_executor(executor, handle, engine, request)
                 out = {"id": rid, "result": result}
+            except (asyncio.IncompleteReadError, ConnectionResetError):
+                break
             except Exception as exc:  # noqa: BLE001 - protocol boundary
                 out = {"id": rid, "error": str(exc)}
             writer.write((json.dumps(out) + "\n").encode())
@@ -98,10 +103,13 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
         writer.close()
         await writer.wait_closed()
 
+    # inline-features requests are legitimately large (768 floats/image as
+    # JSON); asyncio's default 64 KiB readline limit would kill them
+    limit = 64 * 1024 * 1024
     if unix_path:
-        server = await asyncio.start_unix_server(client, path=unix_path)
+        server = await asyncio.start_unix_server(client, path=unix_path, limit=limit)
     else:
-        server = await asyncio.start_server(client, host, port)
+        server = await asyncio.start_server(client, host, port, limit=limit)
     addr = unix_path or f"{host}:{port}"
     logger.info(f"Serving JSONL protocol on {addr}.")
     if ready_event is not None:
@@ -154,7 +162,14 @@ def main() -> None:
         line = line.strip()
         if not line:
             continue
-        respond(json.loads(line))
+        try:
+            request = json.loads(line)
+        except json.JSONDecodeError as exc:
+            # malformed input must not kill the long-running server
+            sys.stdout.write(json.dumps({"id": None, "error": f"bad json: {exc}"}) + "\n")
+            sys.stdout.flush()
+            continue
+        respond(request)
 
 
 if __name__ == "__main__":

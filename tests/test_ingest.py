@@ -172,3 +172,35 @@ def test_mixed_dtype_buckets_do_not_mix(tmp_path):
     for path in (p8, p16):
         solo = np.asarray(encode(jnp.asarray(decode_png(path)[None])))
         np.testing.assert_allclose(stored(path), solo, atol=1e-4)
+
+
+def test_native_decode_gray_with_trns(tmp_path):
+    """Gray PNG with a tRNS transparency chunk: tRNS_to_alpha adds a channel
+    that must be stripped even though gray lacks the alpha mask bit."""
+    import ctypes
+
+    from PIL import Image
+
+    so_path = os.path.join(REPO, "native", "libmmg_png.so")
+    if not os.path.isfile(so_path):
+        pytest.skip("native shim not built")
+
+    path = str(tmp_path / "trns.png")
+    data = np.random.default_rng(0).integers(0, 256, (16, 16), dtype=np.uint8)
+    img = Image.fromarray(data, mode="L")
+    img.save(path, transparency=0)  # adds a tRNS chunk
+
+    arr = decode_png(path)
+    assert arr.shape == (16, 16)
+
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native shim unavailable")
+    width = ctypes.c_int(0)
+    height = ctypes.c_int(0)
+    depth = ctypes.c_int(0)
+    assert lib.mmg_png_read_info(path.encode(), ctypes.byref(width), ctypes.byref(height), ctypes.byref(depth)) == 0
+    out = np.zeros((16, 16), np.uint8)
+    rc = lib.mmg_png_decode_gray(path.encode(), out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
+    assert rc == 0, f"native decode failed rc={rc}"
+    np.testing.assert_array_equal(out, data)

@@ -32,6 +32,7 @@ def main() -> None:
 
     import torch
 
+    scripted = None
     try:
         scripted = torch.jit.load(args.input, map_location="cpu")
         state_dict = scripted.state_dict()
@@ -54,7 +55,11 @@ def main() -> None:
     module, params = init_convnext(config, image_size=64)
     params = load_torchvision_weights(params, state_dict, config)
 
-    if args.verify:
+    if args.verify and scripted is None:
+        # the torch-side forward needs the TorchScript module; a bare state
+        # dict has no callable graph to verify against
+        print("WARNING: --verify needs a TorchScript input; skipping the torch oracle check.")
+    if args.verify and scripted is not None:
         import jax.numpy as jnp
 
         rng = np.random.default_rng(0)

@@ -24,7 +24,9 @@ sys.path.insert(0, REPO)
 
 
 def _flat(series):
-    return [val for sublist in series for val in sublist if val != -1]
+    # stringify: annotation values may be None / ints (datasets.py:47 does
+    # the same defensively)
+    return [str(val) for sublist in series for val in sublist if val != -1]
 
 
 def analyse(df):
@@ -38,10 +40,12 @@ def analyse(df):
     margin_labels = _flat(df["mass_margin"])
     shape_labels = _flat(df["mass_shape"])
     combined_margins = [
-        " / ".join(sorted(set(lst) - {-1})) for lst in df["mass_margin"] if any(v != -1 for v in lst)
+        " / ".join(sorted({str(v) for v in lst if v != -1}))
+        for lst in df["mass_margin"] if any(v != -1 for v in lst)
     ]
     combined_shapes = [
-        " / ".join(sorted(set(lst) - {-1})) for lst in df["mass_shape"] if any(v != -1 for v in lst)
+        " / ".join(sorted({str(v) for v in lst if v != -1}))
+        for lst in df["mass_shape"] if any(v != -1 for v in lst)
     ]
     return {
         "n_images": len(df),

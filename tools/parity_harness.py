@@ -84,12 +84,18 @@ def main() -> None:
 
     rows = []
     worst = 0.0
+    incomparable = []
     for enum_name, ref_auc in reference.items():
         entry = results.get(enum_name, {}).get("zeroshot_label_prompt")
         if not entry:
             rows.append((enum_name, ref_auc, None, None))
+            incomparable.append(enum_name)
             continue
         ours = extract_mean_auc(entry)
+        if ours != ours:  # NaN: evaluation produced nothing comparable
+            rows.append((enum_name, ref_auc, None, None))
+            incomparable.append(enum_name)
+            continue
         delta = ours - ref_auc
         worst = max(worst, abs(delta))
         rows.append((enum_name, ref_auc, ours, delta))
@@ -102,6 +108,11 @@ def main() -> None:
         print(f"{name:34s} {ref_auc:9.4f} {ours_s:>9s} {delta_s:>9s}")
 
     if args.gate:
+        if incomparable:
+            # missing/NaN attributes must FAIL the gate — a run that
+            # produced nothing comparable is not parity
+            print(f"PARITY GATE FAILED: no comparable AUC for {incomparable}")
+            sys.exit(1)
         if worst > 0.005:
             print(f"PARITY GATE FAILED: worst |delta| = {worst:.4f} > 0.005")
             sys.exit(1)
