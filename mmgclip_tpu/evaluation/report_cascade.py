@@ -147,10 +147,10 @@ def decide(model, params, tokenizer, image_features) -> Dict[str, int]:
         feats = feats[None, :]
     flat = model.apply_image_tower(params, feats)
     emb = l2_normalize(model.project_image(params, flat, train=False))[0]
-    cache_key = id(params)
+    # strong reference + `is`: id() could be recycled by a new params dict
     cached = getattr(model, "_cascade_table_cache", None)
-    if cached is None or cached[0] != cache_key:
+    if cached is None or cached[0] is not params:
         table, mask = build_prompt_table(model, params, tokenizer)
-        model._cascade_table_cache = (cache_key, table, mask)
+        model._cascade_table_cache = (params, table, mask)
     _, table, mask = model._cascade_table_cache
     return unpack_decisions(run_cascade(emb, table, mask))  # one scalar fetch

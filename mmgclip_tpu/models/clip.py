@@ -318,15 +318,17 @@ class PromptClassifier:
         self.tokenizer = tokenizer
         self.params = params if params is not None else model.trainable_params
         self._text_cache: Dict[tuple, jnp.ndarray] = {}
-        self._cache_params_id = id(self.params)
+        # strong reference + `is` comparison: an id() comparison could
+        # falsely validate the cache if CPython recycles the freed dict's id
+        self._cache_params = self.params
 
     def encode_prompts(self, class_list) -> jnp.ndarray:
-        if id(self.params) != self._cache_params_id:
+        if self.params is not self._cache_params:
             # params were swapped (new checkpoint / further training) —
             # cached embeddings would silently mix old text with new image
             # projections
             self._text_cache.clear()
-            self._cache_params_id = id(self.params)
+            self._cache_params = self.params
         key = tuple(class_list)
         if key not in self._text_cache:
             tokens = self.tokenizer(

@@ -12,7 +12,7 @@ compute instead of going through XLA's combiner.
 from __future__ import annotations
 
 import functools
-import itertools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -90,10 +90,26 @@ def _ring_all_gather_kernel(local_ref, out_ref, send_sems, recv_sems, *, num_dev
     jax.lax.fori_loop(0, num_devices - 1, step, 0)
 
 
-# distinct collective_id per traced call site: two ring gathers in one
-# compiled program must not share barrier/semaphore state (Pallas requires
-# concurrent collectives to carry different ids)
-_collective_ids = itertools.count(1)
+# distinct collective_id per call SITE, stable across retraces: two ring
+# gathers in one compiled program must not share barrier/semaphore state
+# (Pallas requires concurrent collectives to carry different ids), while an
+# id that changes on every retrace would make identical programs lower
+# differently and defeat XLA's compilation cache.  Ids are assigned
+# first-seen per (caller file:line, shape, dtype, axis) key.
+_collective_id_by_site: dict = {}
+
+
+def _site_collective_id(shape, dtype, axis_name) -> int:
+    frame = sys._getframe(2)  # caller of ring_all_gather
+    key = (frame.f_code.co_filename, frame.f_lineno, tuple(shape), str(dtype), axis_name)
+    if key not in _collective_id_by_site:
+        if len(_collective_id_by_site) >= 63:
+            raise RuntimeError(
+                "ring_all_gather: >63 distinct call sites — pass explicit "
+                "collective_id to disambiguate (Pallas supports ids 1..63)"
+            )
+        _collective_id_by_site[key] = 1 + len(_collective_id_by_site)
+    return _collective_id_by_site[key]
 
 
 def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, collective_id=None):
@@ -109,7 +125,7 @@ def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, c
         return jax.lax.all_gather(x, axis_name, tiled=True)
 
     if collective_id is None:
-        collective_id = next(_collective_ids) % 64
+        collective_id = _site_collective_id(x.shape, x.dtype, axis_name)
     out_shape = jax.ShapeDtypeStruct((chunk * num_devices, d), x.dtype, vma=frozenset({axis_name}))
     return pl.pallas_call(
         functools.partial(_ring_all_gather_kernel, num_devices=num_devices, axis_name=axis_name),

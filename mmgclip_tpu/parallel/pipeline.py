@@ -157,6 +157,7 @@ def pipelined_bert_forward(
     token_type_ids=None,
     axis_name: str = PIPE_AXIS,
     num_microbatches: Optional[int] = None,
+    remat: bool = False,
 ):
     """BertEncoder forward with the layer stack pipeline-parallel.
 
@@ -195,6 +196,6 @@ def pipelined_bert_forward(
 
     out_hidden, _ = pipeline_forward(
         layer_fn, stacked, (hidden, attention_mask), mesh,
-        axis_name=axis_name, num_microbatches=num_microbatches,
+        axis_name=axis_name, num_microbatches=num_microbatches, remat=remat,
     )
     return out_hidden

@@ -66,7 +66,7 @@ def handle(engine: InferenceEngine, request: dict) -> dict:
 
 
 async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=None,
-                       ready_event=None):
+                       ready_event=None, limit=64 * 1024 * 1024):
     """JSONL protocol over TCP / unix sockets, one task per connection.
 
     Device work runs on a single executor thread: clients interleave freely
@@ -80,11 +80,16 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
     async def client(reader, writer):
         while True:
             rid = None
+            desynced = False
             try:
-                # readline inside the try: an over-limit line raises
-                # ValueError and must produce an error response, not a dead
-                # connection
-                line = await reader.readline()
+                try:
+                    line = await reader.readline()
+                except (ValueError, asyncio.LimitOverrunError) as exc:
+                    # over-limit line: the reader buffer still holds the
+                    # partial line, so further reads would parse its
+                    # remainder as garbage requests — respond, then close
+                    desynced = True
+                    raise RuntimeError(f"line too long: {exc}") from exc
                 if not line:
                     break
                 line = line.strip()
@@ -100,12 +105,14 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
                 out = {"id": rid, "error": str(exc)}
             writer.write((json.dumps(out) + "\n").encode())
             await writer.drain()
+            if desynced:
+                break
         writer.close()
         await writer.wait_closed()
 
     # inline-features requests are legitimately large (768 floats/image as
-    # JSON); asyncio's default 64 KiB readline limit would kill them
-    limit = 64 * 1024 * 1024
+    # JSON); asyncio's default 64 KiB readline limit would kill them — the
+    # default limit is 64 MiB
     if unix_path:
         server = await asyncio.start_unix_server(client, path=unix_path, limit=limit)
     else:

@@ -173,3 +173,50 @@ def test_serve_socket_concurrent_clients(experiment, tmp_path):
         assert results[f"{i}-ping"]["result"] == {"ok": True}
         assert results[f"{i}-clf"]["result"]["class_list"] == ["benign", "malignant"]
         assert "nope" in results[f"{i}-bad"]["error"]
+
+
+def test_serve_socket_overlimit_line_closes_connection(experiment, tmp_path):
+    """An over-limit line desyncs the stream mid-line: the server must send
+    one error response and CLOSE the connection instead of parsing the
+    buffered remainder as garbage requests.  Fresh connections still work."""
+    import asyncio
+    import socket
+    import threading
+
+    from serve import serve_socket
+
+    run_dir, _, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+    sock_path = str(tmp_path / "mmg.sock")
+    ready = threading.Event()
+
+    def run_server():
+        asyncio.run(serve_socket(engine, unix_path=sock_path, ready_event=ready,
+                                 limit=1024))
+
+    threading.Thread(target=run_server, daemon=True).start()
+    assert ready.wait(timeout=30)
+
+    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    conn.connect(sock_path)
+    fh = conn.makefile("rw")
+    # one oversized line whose remainder contains a would-be valid request
+    oversized = json.dumps({"op": "ping", "pad": "x" * 4096}) + "\n"
+    fh.write(oversized)
+    fh.write(json.dumps({"op": "ping", "id": "after"}) + "\n")
+    fh.flush()
+    first = json.loads(fh.readline())
+    assert "error" in first
+    # connection must now be closed: no further responses (not even for the
+    # trailing valid request — the server cannot trust its framing)
+    assert fh.readline() == ""
+    conn.close()
+
+    # the server itself is healthy: a new connection round-trips
+    conn2 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    conn2.connect(sock_path)
+    fh2 = conn2.makefile("rw")
+    fh2.write(json.dumps({"op": "ping", "id": 1}) + "\n")
+    fh2.flush()
+    assert json.loads(fh2.readline())["result"] == {"ok": True}
+    conn2.close()
