@@ -196,12 +196,203 @@ class WordPieceTokenizer:
         ids.append(self.sep_id)
         return ids
 
+    def truncate(self, ids: List[int], max_length: int) -> List[int]:
+        # HF semantics: truncation keeps the specials — inner tokens are
+        # cut to max_length-2 so [SEP] stays last (EOS pooling reads
+        # sum(mask)-1; reference: mmgclip_model.py:110-111)
+        if len(ids) > max_length:
+            ids = ids[: max_length - 1] + [self.sep_id]
+        return ids
+
+
+class MosesBpeTokenizer:
+    """Moses + BPE tokenizer — the fairseq scheme BioGPT uses.
+
+    The reference selects it via ``configs/tokenizer/biogpt.yaml`` through
+    ``AutoTokenizer`` (reference: configs/tokenizer/biogpt.yaml:1-4,
+    mmgclip/dataset/dataset.py:72).  Semantics match
+    ``transformers.BioGptTokenizer`` given the same ``vocab.json`` +
+    ``merges.txt`` (tested in tests/test_biogpt_tokenizer.py): sacremoses
+    word split (aggressive dash splits, HTML-escaped), greedy lowest-rank
+    BPE with the ``</w>`` end-of-word marker, and the fairseq framing
+    ``</s> X`` — sep FIRST, no trailing EOS, so truncation simply cuts the
+    tail (EOS pooling reads ``sum(mask)-1`` either way).
+    """
+
+    def __init__(self, vocab: Dict[str, int], merges: Sequence[Sequence[str]]):
+        import sacremoses  # pure-python, baked into the image
+
+        self._moses = sacremoses.MosesTokenizer(lang="en")
+        self.vocab = dict(vocab)
+        self.ids_to_tokens = {v: k for k, v in self.vocab.items()}
+        # later duplicates overwrite earlier ones, like dict(zip(...))
+        self._ranks: Dict[tuple, int] = {tuple(m[:2]): i for i, m in enumerate(merges)}
+        self._bpe_cache: Dict[str, List[str]] = {}
+        self.unk_token = "<unk>"
+        self.pad_id = self.vocab.get("<pad>", 1)
+        self.unk_id = self.vocab.get("<unk>", 3)
+        self.sep_id = self.vocab.get("</s>", 2)
+
+    @classmethod
+    def from_files(cls, vocab_json: str, merges_txt: str) -> "MosesBpeTokenizer":
+        import json
+
+        with open(vocab_json, encoding="utf-8") as fh:
+            vocab = json.load(fh)
+        with open(merges_txt, encoding="utf-8") as fh:
+            lines = fh.read().split("\n")[:-1]
+        merges = [line.split()[:2] for line in lines if line.strip()]
+        return cls(vocab, merges)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def _bpe(self, token: str) -> List[str]:
+        """Greedy merge loop: repeatedly fuse the adjacent pair with the
+        lowest merge rank until none of the remaining pairs has one."""
+        if token in self._bpe_cache:
+            return self._bpe_cache[token]
+        symbols = list(token[:-1]) + [token[-1] + "</w>"]
+        while len(symbols) > 1:
+            pairs = {(a, b) for a, b in zip(symbols, symbols[1:])}
+            ranked = [p for p in pairs if p in self._ranks]
+            if not ranked:
+                break
+            first, second = min(ranked, key=self._ranks.__getitem__)
+            fused: List[str] = []
+            i = 0
+            while i < len(symbols):
+                if (
+                    symbols[i] == first
+                    and i + 1 < len(symbols)
+                    and symbols[i + 1] == second
+                ):
+                    fused.append(first + second)
+                    i += 2
+                else:
+                    fused.append(symbols[i])
+                    i += 1
+            symbols = fused
+        if symbols == ["\n", " </w>"]:
+            # fairseq normalization quirk kept for id-level compatibility
+            symbols = ["\n</w>"]
+        self._bpe_cache[token] = symbols
+        return symbols
+
+    def tokenize(self, text: str) -> List[str]:
+        words = self._moses.tokenize(
+            text, aggressive_dash_splits=True, return_str=False, escape=True
+        )
+        pieces: List[str] = []
+        for word in words:
+            if word:
+                pieces.extend(self._bpe(word))
+        return pieces
+
+    def encode(self, text: str) -> List[int]:
+        return [self.sep_id] + [
+            self.vocab.get(piece, self.unk_id) for piece in self.tokenize(text)
+        ]
+
+    def truncate(self, ids: List[int], max_length: int) -> List[int]:
+        # the only special token is the LEADING </s>; HF truncates the inner
+        # tokens to max_length-1 then prepends it — same as cutting the tail
+        return ids[:max_length]
+
+
+def learn_bpe_from_corpus(
+    corpus: Sequence[str], num_merges: int = 512
+) -> "tuple[Dict[str, int], List[tuple]]":
+    """Deterministic BPE learning for the offline fallback vocabulary:
+    Moses-tokenize the corpus, then repeatedly merge the most frequent
+    adjacent symbol pair (ties broken lexicographically).  Returns
+    (vocab, merges) in the ``vocab.json``/``merges.txt`` shape."""
+    import sacremoses
+    from collections import Counter
+
+    moses = sacremoses.MosesTokenizer(lang="en")
+    word_counts: Counter = Counter()
+    for text in corpus:
+        for word in moses.tokenize(
+            text, aggressive_dash_splits=True, return_str=False, escape=True
+        ):
+            if word:
+                word_counts[word] += 1
+
+    words = {
+        w: [tuple(w[:-1]) + (w[-1] + "</w>",), c] for w, c in word_counts.items()
+    }
+    chars = sorted({s for sym, _ in words.values() for s in sym})
+    merges: List[tuple] = []
+    for _ in range(num_merges):
+        pair_counts: Counter = Counter()
+        for sym, count in words.values():
+            for pair in zip(sym, sym[1:]):
+                pair_counts[pair] += count
+        if not pair_counts:
+            break
+        best, best_count = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best_count < 2:
+            break
+        merges.append(best)
+        first, second = best
+        for entry in words.values():
+            sym = entry[0]
+            fused = []
+            i = 0
+            while i < len(sym):
+                if sym[i] == first and i + 1 < len(sym) and sym[i + 1] == second:
+                    fused.append(first + second)
+                    i += 2
+                else:
+                    fused.append(sym[i])
+                    i += 1
+            entry[0] = tuple(fused)
+
+    vocab: Dict[str, int] = {}
+    for special in ("<s>", "<pad>", "</s>", "<unk>"):  # fairseq id order
+        vocab[special] = len(vocab)
+    for ch in chars:
+        if ch not in vocab:
+            vocab[ch] = len(vocab)
+    for first, second in merges:
+        fused = first + second
+        if fused not in vocab:
+            vocab[fused] = len(vocab)
+    return vocab, merges
+
+
+_DEFAULT_BPE: Optional[MosesBpeTokenizer] = None
+
+
+def _default_bpe() -> MosesBpeTokenizer:
+    """Deterministic Moses+BPE fallback, learned once per process from the
+    same in-repo corpus that seeds the WordPiece fallback."""
+    global _DEFAULT_BPE
+    if _DEFAULT_BPE is None:
+        vocab, merges = learn_bpe_from_corpus(_default_corpus())
+        _DEFAULT_BPE = MosesBpeTokenizer(vocab, merges)
+    return _DEFAULT_BPE
+
+
+# checkpoint families by tokenization scheme: fairseq Moses+BPE degrades to
+# the in-repo BPE fallback; SentencePiece families have NO faithful offline
+# backend here and must fail loudly instead of silently WordPiece-ing
+_BPE_FAMILY_MARKERS = ("biogpt",)
+_SENTENCEPIECE_MARKERS = ("mistral", "llama", "t5", "sentencepiece")
+
 
 class Tokenizer:
     """HF-call-compatible front; numpy outputs.
 
     ``Tokenizer.from_pretrained(name)`` prefers a locally cached HF tokenizer
-    and silently falls back to :class:`WordPieceTokenizer`.
+    and falls back per family: BERT-style names to :class:`WordPieceTokenizer`,
+    fairseq/BioGPT names to :class:`MosesBpeTokenizer` (local
+    ``vocab.json``+``merges.txt``, else a deterministic learned vocabulary),
+    and SentencePiece names raise — there is no faithful offline backend.
     """
 
     def __init__(self, backend, sequence_length: int = 256, name: str = "wordpiece"):
@@ -217,17 +408,24 @@ class Tokenizer:
 
     @property
     def is_fallback(self) -> bool:
-        return isinstance(self._backend, WordPieceTokenizer)
+        return isinstance(self._backend, (WordPieceTokenizer, MosesBpeTokenizer))
 
     @classmethod
     def from_pretrained(cls, name: str, sequence_length: int = 256) -> "Tokenizer":
-        # a real vocab.txt (file, or directory holding one) loads directly —
-        # the converter flow ships the reference checkpoint's vocab this way
+        # real local assets load directly — the converter flow ships the
+        # reference checkpoint's files this way: vocab.txt (WordPiece) or
+        # vocab.json + merges.txt (Moses+BPE)
         vocab_file = None
+        bpe_files = None
         if os.path.isfile(name) and name.endswith(".txt"):
             vocab_file = name
-        elif os.path.isdir(name) and os.path.isfile(os.path.join(name, "vocab.txt")):
-            vocab_file = os.path.join(name, "vocab.txt")
+        elif os.path.isdir(name):
+            if os.path.isfile(os.path.join(name, "vocab.txt")):
+                vocab_file = os.path.join(name, "vocab.txt")
+            vj = os.path.join(name, "vocab.json")
+            mt = os.path.join(name, "merges.txt")
+            if os.path.isfile(vj) and os.path.isfile(mt):
+                bpe_files = (vj, mt)
         try:
             os.environ.setdefault("HF_HUB_OFFLINE", "1")
             os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
@@ -235,6 +433,9 @@ class Tokenizer:
                 from transformers import BertTokenizer
 
                 backend = BertTokenizer(vocab_file=vocab_file)
+            elif bpe_files and not os.path.isfile(os.path.join(name, "tokenizer_config.json")):
+                # bare converter output: AutoTokenizer needs tokenizer_config
+                raise FileNotFoundError("bare vocab.json+merges.txt directory")
             else:
                 from transformers import AutoTokenizer
 
@@ -242,9 +443,31 @@ class Tokenizer:
             logger.info(f"Loaded HF tokenizer from {name!r}.")
             return cls(backend, sequence_length, name)
         except Exception:
+            if bpe_files:
+                logger.info(f"Using in-repo Moses+BPE tokenizer on local files {bpe_files}.")
+                return cls(MosesBpeTokenizer.from_files(*bpe_files), sequence_length, name)
             if vocab_file:
                 logger.info(f"Using in-repo WordPiece tokenizer on vocab file {vocab_file!r}.")
                 return cls(WordPieceTokenizer.from_vocab_file(vocab_file), sequence_length, name)
+            lowered = name.lower()
+            if any(marker in lowered for marker in _BPE_FAMILY_MARKERS):
+                logger.warning(
+                    f"HF tokenizer {name!r} unavailable offline; using the in-repo "
+                    "Moses+BPE fallback (scheme-faithful, deterministic learned "
+                    "vocabulary — NOT the checkpoint's own vocab; point the "
+                    "tokenizer name at a directory with vocab.json+merges.txt "
+                    "for exact ids)."
+                )
+                return cls(_default_bpe(), sequence_length, name)
+            if any(marker in lowered for marker in _SENTENCEPIECE_MARKERS):
+                # WordPiece-tokenizing a SentencePiece checkpoint would be
+                # silently wrong in both scheme and vocabulary
+                raise RuntimeError(
+                    f"Tokenizer {name!r} is a SentencePiece-family checkpoint "
+                    "with no faithful offline backend here. Provide the HF "
+                    "tokenizer files locally (directory with "
+                    "tokenizer_config.json) instead of relying on a fallback."
+                ) from None
             logger.info(
                 f"HF tokenizer {name!r} unavailable offline; using in-repo WordPiece fallback."
             )
@@ -272,15 +495,11 @@ class Tokenizer:
                 result["token_type_ids"] = np.zeros_like(result["input_ids"])
             return result
 
-        def _truncate(ids: List[int]) -> List[int]:
-            # HF semantics: truncation keeps the specials — inner tokens are
-            # cut to max_length-2 so [SEP] stays last (EOS pooling reads
-            # sum(mask)-1; reference: mmgclip_model.py:110-111)
-            if truncation and len(ids) > max_length:
-                ids = ids[: max_length - 1] + [self._backend.sep_id]
-            return ids
-
-        encoded = [_truncate(self._backend.encode(t)) for t in texts]
+        encoded = [self._backend.encode(t) for t in texts]
+        if truncation:
+            # per-family rule: WordPiece keeps [SEP] last, Moses+BPE cuts
+            # the tail (its only special is the leading </s>)
+            encoded = [self._backend.truncate(ids, max_length) for ids in encoded]
         if padding == "longest":
             width = max(len(e) for e in encoded)
         else:
