@@ -31,7 +31,14 @@ from ..config.registry import EXPERIMENTS
 from ..evaluation import metrics as M
 from ..losses import create_loss
 from ..models.clip import MMGCLIP, l2_normalize
-from ..parallel.mesh import DATA_AXIS, batch_sharding, create_mesh, replicated
+from ..parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    PIPE_AXIS,
+    batch_sharding,
+    create_mesh,
+    replicated,
+)
 from ..prompts.enums import BenignMalignantDatasetLabels, MassShapeLabels
 from ..utils.logging import logger
 from ..utils.seeding import create_directory_if_not_exists
@@ -89,7 +96,6 @@ class ClassifierExperiment:
             float(config.optimizer.config.weight_decay),
             freeze_mask=freeze_mask,
         )
-        self.opt_state = self.optimizer.init(self.params)
         self.scheduler = create_scheduler(config)
         logger.info(f"Using {type(self.scheduler).__name__} scheduler.")
 
@@ -101,14 +107,69 @@ class ClassifierExperiment:
         self.writer = ScalarWriter(config.base.tensorboard_export_dir)
 
         # ---- mesh + shardings -------------------------------------------
+        # parallel.* knobs turn the dryrun-proven modes into user-reachable
+        # capability: `model_axis` TP-shards the frozen text tower's matmuls
+        # for the bank encode, `pipeline_stages` runs its stacked layers as a
+        # collective-permute pipeline instead, and MoE expert weights shard
+        # over the model axis (expert parallelism) when a model axis exists.
         batch_size = int(config.dataloader.train.batch_size)
         n_devices = len(jax.devices())
-        data_size = n_devices if batch_size % max(n_devices, 1) == 0 else 1
-        self.mesh = create_mesh(data=data_size, model=1, devices=jax.devices()[:data_size])
+        self._model_axis = int(config.get_path("parallel.model_axis", 1))
+        self._pipe_stages = int(config.get_path("parallel.pipeline_stages", 1))
+        if self._model_axis > 1 and self._pipe_stages > 1:
+            raise ValueError(
+                "parallel.model_axis and parallel.pipeline_stages are "
+                "alternative layouts for the frozen tower; set at most one > 1"
+            )
+        second = max(self._model_axis, self._pipe_stages, 1)
+        if n_devices % second:
+            raise ValueError(
+                f"{n_devices} devices cannot host a model/pipe axis of size {second}"
+            )
+        avail = n_devices // second
+        data_size = avail if avail and batch_size % avail == 0 else 1
+        second_name = PIPE_AXIS if self._pipe_stages > 1 else MODEL_AXIS
+        self.mesh = create_mesh(
+            data=data_size,
+            model=second,
+            devices=jax.devices()[: data_size * second],
+            axis_names=(DATA_AXIS, second_name),
+        )
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
         self.params = jax.device_put(self.params, self._replicated)
-        if bool(config.get_path("optimizer.config.zero_sharding", False)) and data_size > 1:
+
+        # EP: the MoE head's stacked [E, ...] expert weights shard over the
+        # model axis — placement is the whole mechanism; GSPMD lowers the
+        # dispatch/combine einsums to all_to_all (parallel/expert.py)
+        self._expert_sharded = False
+        if (
+            self._model_axis > 1
+            and self.model.projection_name == "MoEProjectionHead"
+            and bool(config.get_path("parallel.expert_sharding", True))
+        ):
+            from ..parallel.expert import shard_moe_params
+
+            n_experts = int(config.projection.config.n_experts)
+            for head in ("image_projection", "text_projection"):
+                self.params[head] = shard_moe_params(
+                    self.params[head], self.mesh, n_experts, axis_name=MODEL_AXIS
+                )
+            self._expert_sharded = True
+            logger.info(
+                f"MoE expert weights sharded over the model axis "
+                f"({n_experts} experts / {self._model_axis} shards)."
+            )
+
+        # optimizer moments inherit each param's placement (zeros_like of a
+        # sharded array keeps its sharding)
+        self.opt_state = self.optimizer.init(self.params)
+        zero_requested = bool(config.get_path("optimizer.config.zero_sharding", False))
+        if zero_requested and self._expert_sharded:
+            logger.warning(
+                "ZeRO-1 skipped: expert-sharded moments already partition over the mesh."
+            )
+        elif zero_requested and data_size > 1:
             # ZeRO-1: moments shard over `data` (matters when a tower is
             # unfrozen — AdamW keeps 2x param bytes); GSPMD inserts the
             # reduce-scatter/all-gather around the update (parallel/zero.py)
@@ -116,8 +177,6 @@ class ClassifierExperiment:
 
             self.opt_state = shard_opt_state(self.opt_state, self.mesh)
             logger.info("Optimizer state sharded over the data axis (ZeRO-1).")
-        else:
-            self.opt_state = jax.device_put(self.opt_state, self._replicated)
         logger.info(f"Training over mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}.")
 
         # ---- frozen-tower text banks -------------------------------------
@@ -142,19 +201,75 @@ class ClassifierExperiment:
 
 
     # ------------------------------------------------------------------
+    def _tower_apply(self):
+        """Jitted frozen-tower apply for the bank encode, laid out per the
+        parallel knobs: with ``model_axis > 1`` the tower's stacked QKV/MLP
+        matmuls TP-shard over `model` (Megatron layout,
+        parallel/tensor_parallel.py); with ``pipeline_stages > 1`` the
+        stacked layers run as a collective-permute pipeline
+        (parallel/pipeline.py).  Both equal the single-device forward."""
+        from ..models.bert import BertEncoder, eos_pool
+
+        cached = getattr(self, "_tower_apply_fn", None)
+        if cached is not None:
+            return cached
+        model = self.model
+        is_bert = isinstance(model.text_module, BertEncoder)
+        if self._model_axis > 1 and is_bert:
+            from ..parallel.tensor_parallel import shard_text_tower
+
+            variables = shard_text_tower(model.text_variables, self.mesh)
+            module = model.text_module
+
+            def tp_tower(vars_, tt):
+                hidden = module.apply(
+                    vars_, tt["input_ids"], attention_mask=tt["attention_mask"],
+                    token_type_ids=tt.get("token_type_ids"), deterministic=True,
+                )
+                return eos_pool(hidden, tt["attention_mask"])
+
+            jitted = jax.jit(tp_tower)
+            fn = lambda tt: jitted(variables, tt)  # noqa: E731
+            logger.info(f"Frozen text tower TP-sharded over model axis of {self._model_axis}.")
+        elif self._pipe_stages > 1 and is_bert:
+            from ..parallel.pipeline import pipelined_bert_forward
+
+            mesh, bert_config = self.mesh, model.bert_config
+            variables = jax.device_put(model.text_variables, self._replicated)
+
+            def pp_tower(tt):
+                hidden = pipelined_bert_forward(
+                    variables, tt["input_ids"], tt["attention_mask"], mesh,
+                    config=bert_config, token_type_ids=tt.get("token_type_ids"),
+                    axis_name=PIPE_AXIS,
+                )
+                return eos_pool(hidden, tt["attention_mask"])
+
+            fn = jax.jit(pp_tower)
+            logger.info(f"Frozen text tower pipelined over {self._pipe_stages} stages.")
+        else:
+            fn = jax.jit(lambda tt: model.apply_text_tower(tt))
+        self._tower_apply_fn = fn
+        return fn
+
+    # ------------------------------------------------------------------
     def _pool_tokens(self, tokens: Dict[str, np.ndarray], chunk: int = 256) -> jnp.ndarray:
         """Run the frozen text tower over all rows once; returns [N, hidden].
 
         The final chunk is padded to the chunk size so every call shares one
         compiled program (a ragged tail would trigger a second XLA compile)."""
         n = tokens["input_ids"].shape[0]
-        apply = jax.jit(lambda tt: self.model.apply_text_tower(tt))
+        apply = self._tower_apply()
         outs = []
         for start in range(0, n, chunk):
             piece = {k: np.asarray(v[start : start + chunk]) for k, v in tokens.items()}
             valid = piece["input_ids"].shape[0]
-            if valid < chunk and n > chunk:
-                pad = chunk - valid
+            target = chunk if (valid < chunk and n > chunk) else valid
+            if self._pipe_stages > 1:
+                # the pipeline splits the batch into `stages` microbatches
+                target = -(-target // self._pipe_stages) * self._pipe_stages
+            if valid < target:
+                pad = target - valid
                 piece = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)]) for k, v in piece.items()}
             out = jax.device_get(apply({k: jnp.asarray(v) for k, v in piece.items()}))
             outs.append(out[:valid])
@@ -195,9 +310,14 @@ class ClassifierExperiment:
     # ------------------------------------------------------------------
     def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
         n = len(batch["indices"])
-        # batches that don't divide the mesh (e.g. a smaller validation
-        # batch size) are placed replicated instead of sharded
-        sharding = self._batch_sharding if n % self.mesh.devices.size == 0 else self._replicated
+        # batches that don't divide the DATA axis (e.g. a smaller validation
+        # batch size) are placed replicated instead of sharded — the batch
+        # only ever shards over `data`, not the model/pipe axis
+        sharding = (
+            self._batch_sharding
+            if n % int(self.mesh.shape[DATA_AXIS]) == 0
+            else self._replicated
+        )
         feats = jax.device_put(jnp.asarray(batch["image_features"], jnp.float32), sharding)
         idx = batch["indices"]
         text = jax.device_put(self._text_bank[idx], sharding)
@@ -437,17 +557,29 @@ class ClassifierExperiment:
         if not os.path.isfile(self.ckp_path):
             return False
         state = load_checkpoint(self.ckp_path, self.params, self.opt_state)
-        self.params = jax.device_put(state["params"], self._replicated)
+        # restore each leaf onto its CURRENT placement (replicated, or
+        # expert-sharded over the model axis) rather than blanket-replicating
+        self.params = jax.tree_util.tree_map(
+            lambda new, cur: jax.device_put(new, cur.sharding) if hasattr(cur, "sharding") else new,
+            state["params"], self.params,
+        )
         if "opt_state" in state:
-            # gate on the DATA-axis size (not total devices): with a future
+            # gate on the DATA-axis size (not total devices): with a
             # data=1, model=N mesh, ZeRO resharding must stay off here just
             # as it does in __init__
-            if bool(self.config.get_path("optimizer.config.zero_sharding", False)) and int(self.mesh.shape.get(DATA_AXIS, 1)) > 1:
+            if (
+                bool(self.config.get_path("optimizer.config.zero_sharding", False))
+                and int(self.mesh.shape.get(DATA_AXIS, 1)) > 1
+                and not self._expert_sharded
+            ):
                 from ..parallel.zero import shard_opt_state
 
                 self.opt_state = shard_opt_state(state["opt_state"], self.mesh)
             else:
-                self.opt_state = jax.device_put(state["opt_state"], self._replicated)
+                self.opt_state = jax.tree_util.tree_map(
+                    lambda new, cur: jax.device_put(new, cur.sharding) if hasattr(cur, "sharding") else new,
+                    state["opt_state"], self.opt_state,
+                )
         self.current_epoch = state["epoch"] + 1
         self.early_stopper.best_score = state["best_score"]
         self.early_stopper.counter = state["counter"]
