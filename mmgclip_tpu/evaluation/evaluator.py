@@ -242,6 +242,23 @@ class Evaluator:
         out_dir = create_directory_if_not_exists(
             os.path.join(self.config.base.results_export_dir, subdir)
         )
+        # raw curves as data, so tools/compare_runs.py can overlay the real
+        # ROCs of several experiments (the reference only keeps the PNGs —
+        # its cross-run notebook re-evaluates from scratch each time)
+        try:
+            import json as _json
+
+            with open(os.path.join(out_dir, f"model_{key}_roc_curves.json"), "w") as fh:
+                _json.dump(
+                    [
+                        {"name": name, "auc": float(roc),
+                         "fpr": np.asarray(fpr).tolist(), "tpr": np.asarray(tpr).tolist()}
+                        for name, fpr, tpr, roc in curves
+                    ],
+                    fh,
+                )
+        except Exception as exc:
+            logger.warning(f"ROC curve dump failed: {exc}")
         try:
             plt = _plt()
             fig, ax = plt.subplots()

@@ -366,3 +366,60 @@ def test_prompt_classifier_batched_argmax_per_image():
     assert len(out["similarities_argmax_per_image"]) == 3
     # reference contract: the scalar field is the FIRST image's argmax
     assert out["similarities_argmax"] == out["similarities_argmax_per_image"][0]
+
+
+def test_batchnorm_head_matches_torch_train_and_documents_eval_divergence():
+    """PARITY.md divergence #6: our BatchNorm ProjectionHead equals the
+    torch reference head in TRAIN mode (current-batch statistics); at EVAL
+    the reference uses its accumulated running stats while ours keeps the
+    init stats — pinned here so the divergence stays documented, not
+    accidental (reference: projection.py:64-83; unused by shipped configs)."""
+    torch = pytest.importorskip("torch")
+    from mmgclip_tpu.models.projections import ProjectionHead
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(8, 32)).astype(np.float32)
+    head = ProjectionHead(embedding_dim=32, hidden_dims=(16, 8), projection_dim=4,
+                          dropout=0.0)
+    variables = head.init(jax.random.key(0), jnp.zeros((1, 32)))
+
+    # the torch reference head: Linear -> BN -> ReLU -> ... -> Linear
+    layers = []
+    widths = [32, 16, 8]
+    for i in range(2):
+        layers += [torch.nn.Linear(widths[i], widths[i + 1]),
+                   torch.nn.BatchNorm1d(widths[i + 1]), torch.nn.ReLU()]
+    layers.append(torch.nn.Linear(8, 4))
+    ref = torch.nn.Sequential(*layers)
+    with torch.no_grad():
+        for i, name in enumerate(["hidden_0", "hidden_1"]):
+            layers[i * 3].weight.copy_(torch.from_numpy(
+                np.asarray(variables["params"][name]["kernel"]).T))
+            layers[i * 3].bias.copy_(torch.from_numpy(
+                np.asarray(variables["params"][name]["bias"])))
+        layers[-1].weight.copy_(torch.from_numpy(np.asarray(variables["params"]["out"]["kernel"]).T))
+        layers[-1].bias.copy_(torch.from_numpy(np.asarray(variables["params"]["out"]["bias"])))
+
+    # TRAIN mode: identical numerics (current-batch statistics)
+    ref.train()
+    with torch.no_grad():
+        theirs_train = ref(torch.from_numpy(feats)).numpy()  # also updates running stats
+    ours_train, _updates = head.apply(
+        variables, jnp.asarray(feats), deterministic=False, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(ours_train), theirs_train, rtol=2e-4, atol=2e-5)
+
+    # EVAL: torch now normalizes with the running stats the train pass
+    # accumulated; we keep the init stats (mean 0 / var 1) — the documented
+    # divergence (a fresh torch head in eval() equals ours exactly)
+    ref.eval()
+    with torch.no_grad():
+        theirs_eval = ref(torch.from_numpy(feats)).numpy()
+    ours_eval = head.apply(variables, jnp.asarray(feats), deterministic=True)
+    assert np.abs(np.asarray(ours_eval) - theirs_eval).max() > 1e-3
+    with torch.no_grad():
+        for module in ref.modules():
+            if isinstance(module, torch.nn.BatchNorm1d):
+                module.reset_running_stats()
+        theirs_fresh_eval = ref(torch.from_numpy(feats)).numpy()
+    np.testing.assert_allclose(np.asarray(ours_eval), theirs_fresh_eval, rtol=2e-4, atol=2e-5)

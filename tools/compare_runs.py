@@ -1,0 +1,198 @@
+"""Aggregate N experiment runs into one comparison table + ROC overlays.
+
+CLI counterpart of the reference's cross-experiment reporting notebooks
+(reference: notebooks/models_performance_reporting.ipynb cells 3/5/6,
+notebooks/evaluate.ipynb): collect each run's ``results.json`` into the
+BASELINE.md-shaped attribute x configuration AUROC table (plus accuracy /
+F1 tables), and overlay the runs' real ROC curves per attribute from the
+``model_*_roc_curves.json`` data the Evaluator persists — no re-evaluation
+needed, unlike the reference notebook which re-runs every model.
+
+Usage:
+  python tools/compare_runs.py RUN_DIR [RUN_DIR ...] \
+      [--labels NAME ...] [--out outputs/comparison]
+
+RUN_DIR may be the experiment dir (results/ nested), the results dir, or a
+results.json path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from mmgclip_tpu.utils.logging import logger  # noqa: E402
+from mmgclip_tpu.utils.table import Table  # noqa: E402
+
+
+def _resolve_results_dir(path: str) -> Tuple[str, str]:
+    """RUN_DIR -> (results.json path, results dir)."""
+    if os.path.isfile(path) and path.endswith(".json"):
+        return path, os.path.dirname(path)
+    for candidate in (path, os.path.join(path, "results")):
+        rj = os.path.join(candidate, "results.json")
+        if os.path.isfile(rj):
+            return rj, candidate
+    raise FileNotFoundError(f"No results.json under {path!r}")
+
+
+def load_run(path: str) -> Dict:
+    """One run's metrics: {key: {auc, accuracy, f1score}} + raw ROC curves."""
+    rj, results_dir = _resolve_results_dir(path)
+    with open(rj) as fh:
+        results = json.load(fh)
+    metrics: Dict[str, Dict[str, float]] = {}
+    curves: Dict[str, List[Dict]] = {}
+    for key, node in results.items():
+        zs = node.get("zeroshot_label_prompt") if isinstance(node, dict) else None
+        if not isinstance(zs, dict):
+            continue
+        # binary tasks carry the bootstrap CI mean; multiclass the macro mean
+        auc = zs.get("auc_ci_mean", zs.get("mean_auc", float("nan")))
+        metrics[key] = {
+            "auc": float(auc),
+            "accuracy": float(zs.get("accuracy", float("nan"))),
+            "f1score": float(zs.get("f1score", float("nan"))),
+            "auc_ci_lower": float(zs.get("auc_ci_lower", float("nan"))),
+            "auc_ci_higher": float(zs.get("auc_ci_higher", float("nan"))),
+        }
+        for curve_file in glob.glob(
+            os.path.join(results_dir, "*", f"model_{key}_roc_curves.json")
+        ):
+            with open(curve_file) as cf:
+                curves.setdefault(key, []).extend(json.load(cf))
+    return {"metrics": metrics, "curves": curves}
+
+
+def _metric_table(runs: List[Dict], labels: List[str], metric: str) -> Table:
+    keys: List[str] = []
+    for run in runs:
+        for key in run["metrics"]:
+            if key not in keys:
+                keys.append(key)
+    table = Table([f"Metric ({metric.upper() if metric == 'auc' else metric})"] + labels)
+    for key in keys:
+        table.add_row(
+            [key]
+            + [run["metrics"].get(key, {}).get(metric, float("nan")) for run in runs]
+        )
+    return table
+
+
+def _markdown(table: Table) -> str:
+    def fmt(v):
+        return f"{v:.4f}" if isinstance(v, float) else str(v)
+
+    lines = ["| " + " | ".join(table.field_names) + " |",
+             "|" + "|".join(["---"] * len(table.field_names)) + "|"]
+    lines += ["| " + " | ".join(fmt(v) for v in row) + " |" for row in table.rows]
+    return "\n".join(lines)
+
+
+def _mean_curve(entries: List[Dict]) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+    """A run's representative ROC for one attribute: the positive-class curve
+    for binary tasks, the vertically averaged curve for multiclass."""
+    usable = [e for e in entries if len(e.get("fpr", [])) > 1]
+    if not usable:
+        return None
+    if len(usable) <= 2:
+        e = usable[-1]  # binary: ['No X', 'X'] — the positive class
+        return np.asarray(e["fpr"]), np.asarray(e["tpr"]), float(e["auc"])
+    from mmgclip_tpu.evaluation import metrics as M
+
+    mean_fpr, mean_tpr, _std, mean_auc = M.mean_roc_curve(
+        [(np.asarray(e["fpr"]), np.asarray(e["tpr"])) for e in usable]
+    )
+    return mean_fpr, mean_tpr, float(mean_auc)
+
+
+def _overlay_rocs(runs: List[Dict], labels: List[str], out_dir: str) -> List[str]:
+    written = []
+    keys = sorted({k for run in runs for k in run["curves"]})
+    for key in keys:
+        per_run = [(label, _mean_curve(run["curves"].get(key, [])))
+                   for label, run in zip(labels, runs)]
+        per_run = [(label, c) for label, c in per_run if c is not None]
+        if not per_run:
+            continue
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception as exc:  # plotting must never fail the aggregation
+            logger.warning(f"ROC overlay skipped (matplotlib unavailable: {exc})")
+            return written
+        fig, ax = plt.subplots()
+        for label, (fpr, tpr, auc) in per_run:
+            ax.plot(fpr, tpr, lw=2, label=f"{label} (AUC = {auc:.4f})")
+        ax.plot([0, 1], [0, 1], color="navy", lw=2, linestyle="--")
+        ax.set_xlabel("False Positive Rate")
+        ax.set_ylabel("True Positive Rate")
+        ax.set_title(f"ROC comparison — {key}")
+        ax.legend(loc="lower right", fontsize=8)
+        path = os.path.join(out_dir, f"roc_overlay_{key}.png")
+        fig.savefig(path)
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
+def compare_runs(paths: List[str], labels: Optional[List[str]] = None,
+                 out_dir: str = "outputs/comparison") -> Dict:
+    if labels is None:
+        labels = [os.path.basename(os.path.normpath(p)) or f"run{i}"
+                  for i, p in enumerate(paths)]
+        if len(set(labels)) != len(labels):  # disambiguate identical basenames
+            labels = [f"{label}#{i}" for i, label in enumerate(labels)]
+    if len(labels) != len(paths):
+        raise ValueError(f"{len(labels)} labels for {len(paths)} runs")
+    runs = [load_run(p) for p in paths]
+    os.makedirs(out_dir, exist_ok=True)
+
+    tables = {m: _metric_table(runs, labels, m) for m in ("auc", "accuracy", "f1score")}
+    text = "\n\n".join(str(t) for t in tables.values())
+    with open(os.path.join(out_dir, "comparison.txt"), "w") as fh:
+        fh.write(text + "\n")
+    md = "\n\n".join(
+        f"## {title}\n\n{_markdown(table)}"
+        for title, table in (
+            ("Zero-shot AUROC per attribute", tables["auc"]),
+            ("Accuracy", tables["accuracy"]),
+            ("F1", tables["f1score"]),
+        )
+    )
+    with open(os.path.join(out_dir, "comparison.md"), "w") as fh:
+        fh.write(md + "\n")
+    with open(os.path.join(out_dir, "comparison.csv"), "w") as fh:
+        fh.write("metric,attribute," + ",".join(labels) + "\n")
+        for metric, table in tables.items():
+            for row in table.rows:
+                fh.write(metric + "," + ",".join(str(v) for v in row) + "\n")
+    pngs = _overlay_rocs(runs, labels, out_dir)
+    print(text)
+    logger.info(f"Wrote comparison tables + {len(pngs)} ROC overlays to {out_dir}.")
+    return {"labels": labels, "tables": tables, "roc_overlays": pngs}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("runs", nargs="+", help="Experiment/run directories.")
+    parser.add_argument("--labels", nargs="*", default=None,
+                        help="Column names (default: run dir basenames).")
+    parser.add_argument("--out", default="outputs/comparison")
+    args = parser.parse_args()
+    compare_runs(args.runs, labels=args.labels, out_dir=args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,31 +48,35 @@ def main() -> None:
         pixel_class_signal=True,
     )
 
-    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf", run_dir=RUN)
-    cfg.dataset.config.base_dataset_path = base
-    cfg.dataset.config.annotated_dataset_path = annotated
-    cfg.dataset.config.lists_dataset_path = lists_dir
-    cfg.base.features_export_dir = os.path.join(DATA, "encoded")
-    cfg.base.export_dir = RUN
-    cfg.base.results_export_dir = os.path.join(RUN, "results")
-    cfg.base.tensorboard_export_dir = os.path.join(RUN, "runs")
-    cfg.checkpoints.checkpoints_export_dir = os.path.join(RUN, "checkpoints")
-    cfg.tokenizer.config.sequence_length = 32
-    cfg.networks.text_encoder = Config(
-        {
-            "name": "BertEncoder",
-            "config": {
-                "vocab_size": 4096, "hidden_size": 64, "num_hidden_layers": 2,
-                "num_attention_heads": 4, "intermediate_size": 128,
-                "max_position_embeddings": 64,
-            },
-        }
-    )
-    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
-    cfg.scheduler.config.epochs = 4
-    cfg.dataloader.train.batch_size = 4
-    cfg.dataloader.valid.batch_size = 2
-    cfg.dataloader.test.batch_size = 2
+    def make_cfg(run_dir):
+        cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf", run_dir=run_dir)
+        cfg.dataset.config.base_dataset_path = base
+        cfg.dataset.config.annotated_dataset_path = annotated
+        cfg.dataset.config.lists_dataset_path = lists_dir
+        cfg.base.features_export_dir = os.path.join(DATA, "encoded")
+        cfg.base.export_dir = run_dir
+        cfg.base.results_export_dir = os.path.join(run_dir, "results")
+        cfg.base.tensorboard_export_dir = os.path.join(run_dir, "runs")
+        cfg.checkpoints.checkpoints_export_dir = os.path.join(run_dir, "checkpoints")
+        cfg.tokenizer.config.sequence_length = 32
+        cfg.networks.text_encoder = Config(
+            {
+                "name": "BertEncoder",
+                "config": {
+                    "vocab_size": 4096, "hidden_size": 64, "num_hidden_layers": 2,
+                    "num_attention_heads": 4, "intermediate_size": 128,
+                    "max_position_embeddings": 64,
+                },
+            }
+        )
+        cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+        cfg.scheduler.config.epochs = 4
+        cfg.dataloader.train.batch_size = 4
+        cfg.dataloader.valid.batch_size = 2
+        cfg.dataloader.test.batch_size = 2
+        return cfg
+
+    cfg = make_cfg(RUN)
     save_snapshot(cfg, RUN)
 
     print("== encode_images ==")
@@ -134,6 +138,25 @@ def main() -> None:
 
     sys.argv = ["tsne_eval.py", "--experiment_path", RUN]
     tsne_eval.main()
+
+    print("== second config (MLP projection) + compare_runs ==")
+    # a second short experiment on the same features, then the
+    # cross-experiment aggregation the reference keeps in
+    # models_performance_reporting.ipynb — committed under run/comparison/
+    # (the second run's own tree is scratch; only the comparison is kept)
+    run2 = os.path.join(DEMO, "run_mlp")
+    shutil.rmtree(run2, ignore_errors=True)
+    cfg2 = make_cfg(run2)
+    cfg2.projection.config.projection_name = "MLPProjectionHead"
+    save_snapshot(cfg2, run2)
+    train.run(cfg2)
+    from compare_runs import compare_runs
+
+    compare_runs(
+        [RUN, run2], labels=["linear512", "mlp512"],
+        out_dir=os.path.join(RUN, "comparison"),
+    )
+    shutil.rmtree(run2, ignore_errors=True)
 
     manifest = []
     for root, _dirs, files in os.walk(RUN):
