@@ -140,8 +140,13 @@ def build_image_label_tree(
     return base, annotated, lists_dir, features_dir
 
 
-def build_study_report_fixture(root: str, n_studies: int = 8, features_dim: int = 768):
-    """final_reports_dataset.csv + gtr csv + study feature store."""
+def build_study_report_fixture(root: str, n_studies: int = 8, features_dim: int = 768,
+                               separable: bool = False):
+    """final_reports_dataset.csv + gtr csv + study feature store.
+
+    ``separable=True`` plants a malignancy signal in the study features so
+    training tests can gate on a learnable AUC (mirrors the image fixture's
+    ``separable`` knob)."""
     import pandas as pd
 
     features_dir = os.path.join(root, "study_features")
@@ -154,7 +159,10 @@ def build_study_report_fixture(root: str, n_studies: int = 8, features_dim: int 
         study_id = "st02"
         feat_path = os.path.join(features_dir, pid[:2], pid, study_id, f"{pid}.npy")
         os.makedirs(os.path.dirname(feat_path), exist_ok=True)
-        np.save(feat_path, rng.normal(size=(features_dim,)).astype(np.float32))
+        feat = rng.normal(size=(features_dim,)).astype(np.float32)
+        if separable:
+            feat[:64] += 3.0 if i % 2 else -3.0
+        np.save(feat_path, feat)
 
         is_malig = i % 2
         labels = {
