@@ -11,8 +11,8 @@ test-fast:       ## fast tier gating commits
 # pure-numpy/data/prompt/config suites, no jit-heavy work — the <5-minute
 # pre-commit gate (the 20-minute fast tier remains the pre-push gate)
 SMOKE = tests/test_config.py tests/test_data.py tests/test_prompts.py \
-        tests/test_exam_reports.py tests/test_reports_pipeline.py \
-        tests/test_utils.py tests/test_tokenizer_parity.py tests/test_compare_runs.py
+        tests/test_reports_pipeline.py tests/test_utils.py \
+        tests/test_tokenizer_parity.py tests/test_compare_runs.py
 
 test-smoke:      ## <5-minute smoke tier (pure-python suites)
 	python -m pytest $(SMOKE) -q -m 'not slow'

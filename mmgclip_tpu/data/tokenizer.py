@@ -429,6 +429,13 @@ class Tokenizer:
         try:
             os.environ.setdefault("HF_HUB_OFFLINE", "1")
             os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+            # local_files_only is enforced PER CALL, not via env: the env
+            # flags are read at transformers import time, so a process that
+            # imported transformers before this module (e.g. pytest
+            # collection) would otherwise attempt a hub request — which
+            # HANGS under zero egress (dropped packets, minutes per try).
+            # MMGCLIP_TOKENIZER_ONLINE=1 re-enables hub downloads.
+            local_only = os.environ.get("MMGCLIP_TOKENIZER_ONLINE", "") != "1"
             if vocab_file and not os.path.isdir(name):
                 from transformers import BertTokenizer
 
@@ -439,7 +446,7 @@ class Tokenizer:
             else:
                 from transformers import AutoTokenizer
 
-                backend = AutoTokenizer.from_pretrained(name)
+                backend = AutoTokenizer.from_pretrained(name, local_files_only=local_only)
             logger.info(f"Loaded HF tokenizer from {name!r}.")
             return cls(backend, sequence_length, name)
         except Exception:
