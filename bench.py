@@ -124,13 +124,15 @@ def _true_h2d_rate(jax, pixels, iters, windows):
     # whole-window rate: includes one fence + per-transfer dispatch, so it
     # UNDERestimates — but it bounds plausibility for the differenced value
     whole_window = iters * pixels.nbytes / times["full"]
-    if delta_t > 1e-4:
+    if delta_bytes > 0 and delta_t > 1e-4:
         diffed = delta_bytes / delta_t
         if diffed <= 4 * whole_window:
             return diffed, "size-differenced (fence cost cancelled)"
         # the two sizes' times differed by noise only (tunnel variance):
         # the quotient is meaningless — fall back
         return whole_window, "whole-window fallback (size-diff dominated by noise)"
+    # batch=1 degenerates to half==full (delta_bytes 0); otherwise the diff
+    # was below timing noise
     return whole_window, "whole-window fallback (diff below noise)"
 
 
@@ -342,7 +344,11 @@ def bench_encode() -> dict:
     e2e_implied = max(window_rates)
     if h2d_pipeline_rate < e2e_implied:
         h2d_pipeline_rate = e2e_implied
-    h2d_rate = max(h2d_rate, h2d_pipeline_rate)
+    if h2d_rate < h2d_pipeline_rate:
+        h2d_rate = h2d_pipeline_rate
+        h2d_method += "; floored by pipeline/e2e-proven rate"
+    # keep GB/s consistent with the reported img/s after any flooring
+    h2d_bytes_per_sec = h2d_rate * (pixels.nbytes / batch)
 
     roofline = _matmul_roofline_tflops(jax, dtype)
     achieved_tflops = flops_per_image * compute_rate / 1e12
@@ -360,6 +366,11 @@ def bench_encode() -> dict:
     # part of the transfer path
     binding_rate = min(compute_rate, h2d_pipeline_rate)
     median_rate = float(np.median(window_rates))
+    if binding_rate < median_rate:
+        # a measured ceiling below the ACHIEVED median is a noise-slow
+        # reading (compute-only is one window) — the achieved rate itself
+        # proves the binding resource sustains at least this much
+        binding_rate = median_rate
     overlap_efficiency = median_rate / max(binding_rate, 1e-9)
 
     # ---- int8 pointwise-conv variant (VERDICT r2 #5): same params, the

@@ -427,15 +427,19 @@ class Tokenizer:
             if os.path.isfile(vj) and os.path.isfile(mt):
                 bpe_files = (vj, mt)
         try:
-            os.environ.setdefault("HF_HUB_OFFLINE", "1")
-            os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
             # local_files_only is enforced PER CALL, not via env: the env
             # flags are read at transformers import time, so a process that
             # imported transformers before this module (e.g. pytest
             # collection) would otherwise attempt a hub request — which
             # HANGS under zero egress (dropped packets, minutes per try).
-            # MMGCLIP_TOKENIZER_ONLINE=1 re-enables hub downloads.
-            local_only = os.environ.get("MMGCLIP_TOKENIZER_ONLINE", "") != "1"
+            # MMGCLIP_TOKENIZER_ONLINE=1 re-enables hub downloads (and must
+            # suppress the offline env defaults, which transformers would
+            # otherwise snapshot at first import).
+            online = os.environ.get("MMGCLIP_TOKENIZER_ONLINE", "") == "1"
+            if not online:
+                os.environ.setdefault("HF_HUB_OFFLINE", "1")
+                os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+            local_only = not online
             if vocab_file and not os.path.isdir(name):
                 from transformers import BertTokenizer
 
@@ -456,7 +460,15 @@ class Tokenizer:
             if vocab_file:
                 logger.info(f"Using in-repo WordPiece tokenizer on vocab file {vocab_file!r}.")
                 return cls(WordPieceTokenizer.from_vocab_file(vocab_file), sequence_length, name)
+            import re
+
             lowered = name.lower()
+
+            def _word_bounded(marker):
+                # 't5' must not match inside e.g. 'gpt5-med' — markers match
+                # only as standalone name segments
+                return re.search(rf"(^|[^a-z0-9]){re.escape(marker)}([^a-z0-9]|$)", lowered)
+
             if any(marker in lowered for marker in _BPE_FAMILY_MARKERS):
                 logger.warning(
                     f"HF tokenizer {name!r} unavailable offline; using the in-repo "
@@ -466,7 +478,7 @@ class Tokenizer:
                     "for exact ids)."
                 )
                 return cls(_default_bpe(), sequence_length, name)
-            if any(marker in lowered for marker in _SENTENCEPIECE_MARKERS):
+            if any(_word_bounded(marker) for marker in _SENTENCEPIECE_MARKERS):
                 # WordPiece-tokenizing a SentencePiece checkpoint would be
                 # silently wrong in both scheme and vocabulary
                 raise RuntimeError(

@@ -94,22 +94,51 @@ def _ring_all_gather_kernel(local_ref, out_ref, send_sems, recv_sems, *, num_dev
 # gathers in one compiled program must not share barrier/semaphore state
 # (Pallas requires concurrent collectives to carry different ids), while an
 # id that changes on every retrace would make identical programs lower
-# differently and defeat XLA's compilation cache.  Ids are assigned
-# first-seen per (caller file:line, shape, dtype, axis) key.
-_collective_id_by_site: dict = {}
+# differently and defeat XLA's compilation cache.  Each site (caller
+# file:line + shape/dtype/axis) owns a block of _SLOTS_PER_SITE ids; calls
+# from the same site within the SAME trace (one compiled program — e.g. a
+# list comprehension of gathers) get consecutive slots, while a NEW trace
+# resets the site to slot 0, so retraces of an identical program lower
+# identically and keep hitting the cache.  The trace is identified by a
+# weakref to the operand tracer's trace object; eager operands (no trace)
+# always use slot 0 — eager pallas_calls execute sequentially, so id reuse
+# is safe there.
+_SLOTS_PER_SITE = 4
+_collective_site_base: dict = {}
+_collective_site_trace: dict = {}  # key -> (weakref-to-trace, next_slot)
 
 
-def _site_collective_id(shape, dtype, axis_name) -> int:
+def _site_collective_id(x, shape, dtype, axis_name) -> int:
+    import weakref
+
     frame = sys._getframe(2)  # caller of ring_all_gather
     key = (frame.f_code.co_filename, frame.f_lineno, tuple(shape), str(dtype), axis_name)
-    if key not in _collective_id_by_site:
-        if len(_collective_id_by_site) >= 63:
+    if key not in _collective_site_base:
+        if (len(_collective_site_base) + 1) * _SLOTS_PER_SITE > 63:
             raise RuntimeError(
-                "ring_all_gather: >63 distinct call sites — pass explicit "
+                "ring_all_gather: too many distinct call sites — pass explicit "
                 "collective_id to disambiguate (Pallas supports ids 1..63)"
             )
-        _collective_id_by_site[key] = 1 + len(_collective_id_by_site)
-    return _collective_id_by_site[key]
+        _collective_site_base[key] = 1 + len(_collective_site_base) * _SLOTS_PER_SITE
+    trace_obj = getattr(x, "_trace", None)
+    if trace_obj is None:
+        return _collective_site_base[key]
+    prev = _collective_site_trace.get(key)
+    slot = 0
+    if prev is not None and prev[0]() is trace_obj:
+        slot = prev[1]
+        if slot >= _SLOTS_PER_SITE:
+            raise RuntimeError(
+                f"ring_all_gather: more than {_SLOTS_PER_SITE} gathers traced "
+                "from one call site into one program — pass explicit "
+                "collective_id values to disambiguate"
+            )
+    try:
+        ref = weakref.ref(trace_obj)
+    except TypeError:  # trace type without weakref support: be conservative
+        ref = lambda: None  # noqa: E731 - next call resets to slot 0
+    _collective_site_trace[key] = (ref, slot + 1)
+    return _collective_site_base[key] + slot
 
 
 def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, collective_id=None):
@@ -125,7 +154,7 @@ def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, c
         return jax.lax.all_gather(x, axis_name, tiled=True)
 
     if collective_id is None:
-        collective_id = _site_collective_id(x.shape, x.dtype, axis_name)
+        collective_id = _site_collective_id(x, x.shape, x.dtype, axis_name)
     out_shape = jax.ShapeDtypeStruct((chunk * num_devices, d), x.dtype, vma=frozenset({axis_name}))
     return pl.pallas_call(
         functools.partial(_ring_all_gather_kernel, num_devices=num_devices, axis_name=axis_name),

@@ -176,3 +176,16 @@ def test_biogpt_config_end_to_end_forward():
                                 jnp.asarray(batch["attention_mask"]))
     assert hidden.shape == (2, 32, 64)
     assert bool(jnp.all(jnp.isfinite(hidden)))
+
+
+def test_sentencepiece_markers_are_word_bounded():
+    """'t5' must not match inside unrelated names like 'gpt5-med' (review
+    fix): non-SentencePiece names still get the WordPiece fallback."""
+    from mmgclip_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = Tokenizer.from_pretrained("acme/gpt5-med-tokenizer", sequence_length=16)
+    assert isinstance(tok._backend, WordPieceTokenizer)
+    with pytest.raises(RuntimeError, match="SentencePiece"):
+        Tokenizer.from_pretrained("google/t5-base", sequence_length=16)
+    with pytest.raises(RuntimeError, match="SentencePiece"):
+        Tokenizer.from_pretrained("meta/Llama-3-8B", sequence_length=16)

@@ -89,3 +89,41 @@ def test_ring_all_gather_fallback_on_ragged_shapes():
         mesh=mesh, in_specs=(P("data"),), out_specs=P("data", None),
     )(x)
     assert out.shape == (64, 3)
+
+
+def test_collective_ids_distinct_within_trace_stable_across_traces():
+    """Ids from one call site: distinct for multiple gathers traced into ONE
+    program (same trace), identical across retraces (cache stability), and
+    consistent for plain eager operands (advisor r2 finding + review fix)."""
+    from mmgclip_tpu.parallel.collectives import _site_collective_id
+
+    class FakeTrace:
+        pass
+
+    class FakeTracer:
+        def __init__(self, trace):
+            self._trace = trace
+
+    def fake_ring(x):  # stands in for ring_all_gather's stack frame
+        return _site_collective_id(x, (8, 128), "float32", "data")
+
+    def ids_for(operands):
+        # ONE source line below = one call site, like a single
+        # ring_all_gather statement traced repeatedly
+        return [fake_ring(x) for x in operands]
+
+    trace_a = FakeTrace()
+    ids_a = ids_for([FakeTracer(trace_a) for _ in range(3)])
+    assert len(set(ids_a)) == 3  # same program -> distinct ids
+
+    trace_b = FakeTrace()  # a retrace: fresh trace object
+    ids_b = ids_for([FakeTracer(trace_b) for _ in range(3)])
+    assert ids_a == ids_b  # identical program lowers identically
+
+    eager = object.__new__(FakeTracer)  # no _trace attribute at all
+    assert ids_for([eager]) == [ids_a[0]]
+    assert ids_for([eager]) == [ids_a[0]]  # eager calls are sequential: stable id
+
+    too_many = FakeTrace()
+    with pytest.raises(RuntimeError, match="explicit"):
+        ids_for([FakeTracer(too_many) for _ in range(16)])

@@ -65,11 +65,18 @@ def load_run(path: str) -> Dict:
             "auc_ci_lower": float(zs.get("auc_ci_lower", float("nan"))),
             "auc_ci_higher": float(zs.get("auc_ci_higher", float("nan"))),
         }
-        for curve_file in glob.glob(
-            os.path.join(results_dir, "*", f"model_{key}_roc_curves.json")
-        ):
-            with open(curve_file) as cf:
-                curves.setdefault(key, []).extend(json.load(cf))
+        # one method's curves only — merging zeroshot and
+        # zeroshot_label_prompt files would average cross-method curves.
+        # Prefer zeroshot_label_prompt: it is the method the tables above
+        # are built from
+        for subdir in ("zeroshot_label_prompt", "zeroshot"):
+            curve_file = os.path.join(
+                results_dir, subdir, f"model_{key}_roc_curves.json"
+            )
+            if os.path.isfile(curve_file):
+                with open(curve_file) as cf:
+                    curves[key] = json.load(cf)
+                break
     return {"metrics": metrics, "curves": curves}
 
 
@@ -100,11 +107,17 @@ def _markdown(table: Table) -> str:
 
 def _mean_curve(entries: List[Dict]) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
     """A run's representative ROC for one attribute: the positive-class curve
-    for binary tasks, the vertically averaged curve for multiclass."""
+    for binary tasks, the vertically averaged curve otherwise.  Binary is
+    detected from the TASK (two prompts, one negated), not from how many
+    classes survived degenerate splits — a 4-class attribute with two
+    curve-less classes must still average, not pick one class's curve."""
     usable = [e for e in entries if len(e.get("fpr", [])) > 1]
     if not usable:
         return None
-    if len(usable) <= 2:
+    is_binary = len(entries) == 2 and any(
+        e.get("name", "").lower().startswith("no ") for e in entries
+    )
+    if is_binary or len(usable) == 1:
         e = usable[-1]  # binary: ['No X', 'X'] — the positive class
         return np.asarray(e["fpr"]), np.asarray(e["tpr"]), float(e["auc"])
     from mmgclip_tpu.evaluation import metrics as M
