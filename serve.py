@@ -20,7 +20,11 @@ Front-ends (same protocol on each):
 
 Connections are handled concurrently (asyncio); device work is serialized
 through a single executor thread — one accelerator stream, no interleaved
-jit dispatch.
+jit dispatch.  Socket requests that queue up while the device is busy are
+MICRO-BATCHED: coalescible requests (same op + same prompt list / report
+flags, inline features) merge into one forward and the results are split
+back per request — natural batching with zero added latency (the batch is
+whatever accumulated during the previous device call).
 """
 
 from __future__ import annotations
@@ -65,17 +69,114 @@ def handle(engine: InferenceEngine, request: dict) -> dict:
     raise ValueError(f"Unknown op {op!r}")
 
 
+def _batch_key(request: dict):
+    """Requests coalescible into ONE device call share a key (None = not
+    batchable).  Only inline-feature requests coalesce — path requests do
+    host PNG decode, which should not hold up the merged forward."""
+    op = request.get("op")
+    if op == "classify" and "features" in request and "class_list" in request:
+        return ("classify", tuple(request["class_list"]))
+    if op == "report" and "features" in request:
+        return ("report", int(request.get("seed", 42)), bool(request.get("bug_compat", True)))
+    return None
+
+
+def handle_group(engine: InferenceEngine, requests: list) -> list:
+    """One merged forward for a group of coalescible requests; returns one
+    result dict per request (same shapes as `handle` would produce)."""
+    if len(requests) == 1:
+        return [handle(engine, requests[0])]
+    arrays = []
+    for request in requests:
+        arr = np.asarray(request["features"], np.float32)
+        arrays.append(arr[None, :] if arr.ndim == 1 else arr)
+    counts = [arr.shape[0] for arr in arrays]
+    merged = np.concatenate(arrays, axis=0)
+    op = requests[0]["op"]
+    results = []
+    start = 0
+    if op == "classify":
+        out = engine.classify(merged, requests[0]["class_list"])
+        for count in counts:
+            results.append(
+                {
+                    "classes_similarities": out["classes_similarities"][start : start + count],
+                    "similarities_argmax": out["similarities_argmax"][start : start + count],
+                    "class_list": out["class_list"],
+                }
+            )
+            start += count
+    else:
+        reports = engine.generate_reports(
+            merged,
+            seed=int(requests[0].get("seed", 42)),
+            bug_compat=bool(requests[0].get("bug_compat", True)),
+        )
+        for count in counts:
+            results.append({"reports": reports[start : start + count]})
+            start += count
+    return results
+
+
 async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=None,
-                       ready_event=None, limit=64 * 1024 * 1024):
+                       ready_event=None, limit=64 * 1024 * 1024, max_batch=32):
     """JSONL protocol over TCP / unix sockets, one task per connection.
 
     Device work runs on a single executor thread: clients interleave freely
-    at the protocol layer while jit dispatch stays single-stream."""
+    at the protocol layer while jit dispatch stays single-stream.  A
+    dispatcher drains everything that queued while the previous device call
+    ran and merges coalescible requests (`_batch_key`) into one forward."""
     import asyncio
     from concurrent.futures import ThreadPoolExecutor
 
     loop = asyncio.get_running_loop()
     executor = ThreadPoolExecutor(max_workers=1)
+    queue: "asyncio.Queue" = asyncio.Queue()
+
+    async def run_items(items):
+        requests = [request for request, _fut in items]
+        try:
+            if len(items) == 1:
+                results = [await loop.run_in_executor(executor, handle, engine, requests[0])]
+            else:
+                results = await loop.run_in_executor(executor, handle_group, engine, requests)
+            for (_request, fut), result in zip(items, results):
+                if not fut.done():
+                    fut.set_result(result)
+        except Exception:
+            if len(items) == 1:
+                _request, fut = items[0]
+                if not fut.done():
+                    fut.set_exception(sys.exc_info()[1])
+                return
+            # one bad request must not fail its batch neighbors: retry
+            # each individually with per-request error routing
+            for item in items:
+                await run_items([item])
+
+    async def dispatcher():
+        while True:
+            batch = [await queue.get()]
+            while len(batch) < max_batch:
+                try:
+                    batch.append(queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            groups: dict = {}
+            order = []  # singles keep arrival order relative to each other
+            for item in batch:
+                key = _batch_key(item[0])
+                if key is None:
+                    order.append([item])
+                else:
+                    if key not in groups:
+                        groups[key] = []
+                        order.append(groups[key])
+                    groups[key].append(item)
+            for items in order:
+                await run_items(items)
+
+    dispatcher_task = asyncio.ensure_future(dispatcher())
 
     async def client(reader, writer):
         while True:
@@ -97,7 +198,9 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
                     continue
                 request = json.loads(line)
                 rid = request.get("id")
-                result = await loop.run_in_executor(executor, handle, engine, request)
+                fut = loop.create_future()
+                await queue.put((request, fut))
+                result = await fut
                 out = {"id": rid, "result": result}
             except (asyncio.IncompleteReadError, ConnectionResetError):
                 break
@@ -121,8 +224,11 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
     logger.info(f"Serving JSONL protocol on {addr}.")
     if ready_event is not None:
         ready_event.set()
-    async with server:
-        await server.serve_forever()
+    try:
+        async with server:
+            await server.serve_forever()
+    finally:
+        dispatcher_task.cancel()
 
 
 def main() -> None:

@@ -220,3 +220,99 @@ def test_serve_socket_overlimit_line_closes_connection(experiment, tmp_path):
     fh2.flush()
     assert json.loads(fh2.readline())["result"] == {"ok": True}
     conn2.close()
+
+
+def test_serve_socket_microbatches_concurrent_classify(experiment, tmp_path):
+    """Coalescible classify requests that queue while the device is busy
+    merge into ONE forward (dispatcher micro-batching): fewer engine calls
+    than requests, every response still correct and per-request."""
+    import asyncio
+    import socket
+    import threading
+    import time
+
+    from serve import serve_socket
+
+    run_dir, _, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+
+    calls = []
+    orig_classify = engine.classify
+
+    def slow_classify(features, class_list):
+        calls.append(np.asarray(features).shape[0])
+        time.sleep(0.3)  # hold the device so later requests queue up
+        return orig_classify(features, class_list)
+
+    engine.classify = slow_classify
+    sock_path = str(tmp_path / "mmg.sock")
+    ready = threading.Event()
+
+    def run_server():
+        asyncio.run(serve_socket(engine, unix_path=sock_path, ready_event=ready))
+
+    threading.Thread(target=run_server, daemon=True).start()
+    assert ready.wait(timeout=30)
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(8, 768)).astype(np.float32)
+    results = {}
+
+    def client(i):
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(sock_path)
+        fh = conn.makefile("rw")
+        fh.write(json.dumps({
+            "op": "classify", "id": i, "features": [feats[i].tolist()],
+            "class_list": ["benign", "malignant"],
+        }) + "\n")
+        fh.flush()
+        results[i] = json.loads(fh.readline())
+        conn.close()
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    assert len(results) == 8
+    for i in range(8):
+        res = results[i]["result"]
+        assert len(res["classes_similarities"]) == 1  # per-request split
+        assert res["similarities_argmax"][0] in (0, 1)
+        assert res["class_list"] == ["benign", "malignant"]
+    # batching happened: 8 requests, strictly fewer device calls, at least
+    # one call carried a merged batch; every row was classified exactly once
+    assert sum(calls) == 8
+    assert len(calls) < 8
+    assert max(calls) >= 2
+
+
+def test_handle_group_splits_match_individual_results(experiment):
+    """handle_group == per-request handle, row for row (reports too)."""
+    from serve import handle, handle_group
+
+    run_dir, _, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+    rng = np.random.default_rng(1)
+    requests = [
+        {"op": "classify", "features": [rng.normal(size=768).tolist()],
+         "class_list": ["benign", "malignant"]}
+        for _ in range(3)
+    ]
+    grouped = handle_group(engine, requests)
+    for request, group_result in zip(requests, grouped):
+        single = handle(engine, request)
+        np.testing.assert_allclose(
+            group_result["classes_similarities"], single["classes_similarities"], rtol=1e-5
+        )
+        assert group_result["similarities_argmax"] == single["similarities_argmax"]
+
+    report_requests = [
+        {"op": "report", "features": [rng.normal(size=768).tolist()], "seed": 7}
+        for _ in range(2)
+    ]
+    grouped = handle_group(engine, report_requests)
+    for request, group_result in zip(report_requests, grouped):
+        assert group_result["reports"] == handle(engine, request)["reports"]
