@@ -399,6 +399,30 @@ class Tokenizer:
         self._backend = backend
         self.sequence_length = sequence_length
         self.name = name
+        self._native = None
+        self._native_tried = False
+
+    def _native_backend(self):
+        """Batch C++ WordPiece for the ASCII fast path (native/wordpiece.cc);
+        None when unavailable, disabled, or the backend isn't WordPiece."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        if (
+            isinstance(self._backend, WordPieceTokenizer)
+            and os.environ.get("MMGCLIP_NATIVE_TOKENIZER", "1") != "0"
+        ):
+            try:
+                from .native_wordpiece import NativeWordPiece
+
+                self._native = NativeWordPiece(
+                    self._backend.vocab,
+                    lowercase=self._backend.lowercase,
+                    max_input_chars_per_word=self._backend.max_input_chars_per_word,
+                )
+            except (RuntimeError, ValueError):
+                self._native = None
+        return self._native
 
     @property
     def vocab_size(self) -> int:
@@ -513,6 +537,22 @@ class Tokenizer:
             if "token_type_ids" not in result:
                 result["token_type_ids"] = np.zeros_like(result["input_ids"])
             return result
+
+        if truncation:
+            native = self._native_backend()
+            if native is not None:
+                out = native.encode_batch(list(texts), max_length)
+                if out is not None:  # None = non-ASCII text -> Python path
+                    input_ids, attention_mask = out
+                    if padding == "longest" and len(texts):
+                        width = int(attention_mask.sum(axis=1).max())
+                        input_ids = input_ids[:, :width]
+                        attention_mask = attention_mask[:, :width]
+                    return {
+                        "input_ids": input_ids,
+                        "attention_mask": attention_mask,
+                        "token_type_ids": np.zeros_like(input_ids),
+                    }
 
         encoded = [self._backend.encode(t) for t in texts]
         if truncation:
