@@ -66,6 +66,11 @@ def load_convnext_tower(config, seed: int = 0):
         from ..models.clip import resolve_dtype
 
         cn_config = replace(cn_config, dtype=resolve_dtype(overrides["dtype"]))
+    if overrides.get("quant"):
+        # int8 pointwise convs (ops/quant.py): 2x MXU rate on v5e, feature
+        # error bounded by tests/test_quant.py + the bench's recorded
+        # int8_max_feature_rel_err
+        cn_config = replace(cn_config, quant=str(overrides["quant"]))
     module, params = init_convnext(cn_config, seed=seed, image_size=64)
     if path and os.path.isfile(path) and path.endswith(".npz"):
         from flax import serialization

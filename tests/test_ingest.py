@@ -204,3 +204,38 @@ def test_native_decode_gray_with_trns(tmp_path):
     rc = lib.mmg_png_decode_gray(path.encode(), out.ctypes.data_as(ctypes.c_void_p), out.nbytes)
     assert rc == 0, f"native decode failed rc={rc}"
     np.testing.assert_array_equal(out, data)
+
+
+def test_int8_quant_encode_config_knob(tmp_path):
+    """networks.image_encoder.config.quant=int8 reaches the real encode
+    pipeline (not just the bench): features stay close to the fp tower."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.base.features_export_dir = str(tmp_path / "fp")
+
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(rng.integers(0, 256, (32, 32), dtype=np.uint8), mode="L").save(p)
+    df = pd.DataFrame({"image_path": [p]})
+
+    ImageFeatureExtractor(config=cfg, dataset=df, batch_size=2).extract()
+    rel = os.path.join(*p.strip(os.sep).split(os.sep)[-4:]).replace(".png", ".npy")
+    fp_feats = np.load(os.path.join(str(tmp_path / "fp"), rel)).ravel()
+
+    cfg.networks.image_encoder.config.quant = "int8"
+    cfg.base.features_export_dir = str(tmp_path / "q8")
+    extractor = ImageFeatureExtractor(config=cfg, dataset=df, batch_size=2)
+    assert extractor.cn_config.quant == "int8"
+    extractor.extract()
+    q8_feats = np.load(os.path.join(str(tmp_path / "q8"), rel)).ravel()
+
+    cos = float(np.dot(fp_feats, q8_feats) / (np.linalg.norm(fp_feats) * np.linalg.norm(q8_feats)))
+    assert cos > 0.99
+    assert not np.array_equal(fp_feats, q8_feats)  # the int8 path really ran
