@@ -189,3 +189,51 @@ def test_sentencepiece_markers_are_word_bounded():
         Tokenizer.from_pretrained("google/t5-base", sequence_length=16)
     with pytest.raises(RuntimeError, match="SentencePiece"):
         Tokenizer.from_pretrained("meta/Llama-3-8B", sequence_length=16)
+
+
+@pytest.mark.slow
+def test_biogpt_ablation_trains_end_to_end(tmp_path):
+    """The thesis' BioGPT ablation row is reachable as a PIPELINE offline:
+    tokenizer=biogpt (Moses+BPE fallback) + CausalTextEncoder text tower
+    through the standard train.run flow — finite, decreasing loss."""
+    import json as _json
+
+    import numpy as np
+
+    import train
+    from mmgclip_tpu.config import Config, compose
+    from fixtures import build_image_label_tree
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base, annotated, lists_dir, features_dir = build_image_label_tree(
+        str(tmp_path), n_benign=8, n_malignant=8
+    )
+    run_dir = tmp_path / "run"
+    cfg = compose(os.path.join(repo, "configs"), "train_binary_class_clf",
+                  run_dir=str(run_dir), overrides=["tokenizer=biogpt"])
+    cfg.dataset.config.base_dataset_path = base
+    cfg.dataset.config.annotated_dataset_path = annotated
+    cfg.dataset.config.lists_dataset_path = lists_dir
+    cfg.base.features_export_dir = features_dir
+    cfg.base.export_dir = str(run_dir)
+    cfg.base.tensorboard_export_dir = str(tmp_path / "runs")
+    cfg.checkpoints.checkpoints_export_dir = str(tmp_path / "ckpt")
+    cfg.tokenizer.config.sequence_length = 32
+    # tiny BioGPT-topology tower; vocab_size comes from the BPE tokenizer
+    cfg.networks.text_encoder = Config({
+        "name": "CausalTextEncoder",
+        "config": {"hidden_size": 64, "num_hidden_layers": 2,
+                   "num_attention_heads": 4, "intermediate_size": 128,
+                   "max_position_embeddings": 64},
+    })
+    cfg.scheduler.config.epochs = 4
+    cfg.dataloader.train.batch_size = 4
+    cfg.dataloader.valid.batch_size = 2
+    cfg.dataset.eval.enum_classes = []
+
+    train.run(cfg)
+    lines = [_json.loads(l) for l in open(os.path.join(str(tmp_path / "runs"), "scalars.jsonl"))]
+    losses = [l["value"] for l in lines if l["tag"] == "loss/train"]
+    assert len(losses) == 4
+    assert all(np.isfinite(v) for v in losses)
+    assert min(losses[1:]) < losses[0]  # epoch 0 is lr=0 warmup
