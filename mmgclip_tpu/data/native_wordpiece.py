@@ -60,6 +60,9 @@ class NativeWordPiece:
         ordered = sorted(vocab.items(), key=lambda kv: kv[1])
         if [i for _t, i in ordered] != list(range(len(ordered))):
             raise ValueError("native WordPiece needs dense token ids 0..n-1")
+        if any("\n" in tok for tok, _i in ordered):
+            # a newline inside a token would corrupt the line-indexed blob
+            raise ValueError("native WordPiece cannot encode newline tokens")
         blob = "\n".join(tok for tok, _i in ordered).encode("utf-8")
         self._handle = lib.wp_create(blob)
 

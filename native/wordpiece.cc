@@ -78,8 +78,11 @@ void* wp_create(const char* vocab_blob) {
     const char* nl = strchr(p, '\n');
     size_t len = nl ? static_cast<size_t>(nl - p) : strlen(p);
     if (len > 0) {
-      v->ids.emplace(std::string(p, len), id++);
+      v->ids.emplace(std::string(p, len), id);
     }
+    // id = LINE index unconditionally: an empty line must still consume its
+    // id, or every later token would shift off-by-one vs the Python vocab
+    ++id;
     if (!nl) break;
     p = nl + 1;
   }

@@ -72,13 +72,23 @@ def handle(engine: InferenceEngine, request: dict) -> dict:
 def _batch_key(request: dict):
     """Requests coalescible into ONE device call share a key (None = not
     batchable).  Only inline-feature requests coalesce — path requests do
-    host PNG decode, which should not hold up the merged forward."""
-    op = request.get("op")
-    if op == "classify" and "features" in request and "class_list" in request:
-        return ("classify", tuple(request["class_list"]))
-    if op == "report" and "features" in request:
-        return ("report", int(request.get("seed", 42)), bool(request.get("bug_compat", True)))
-    return None
+    host PNG decode, which should not hold up the merged forward.  Must
+    NEVER raise (it runs on the dispatcher task): malformed fields make the
+    request non-batchable, and handle() reports the error per-client."""
+    try:
+        op = request.get("op")
+        key = None
+        if op == "classify" and "features" in request and "class_list" in request:
+            key = ("classify", tuple(request["class_list"]))
+        elif op == "report" and "features" in request and "exam_dir" not in request:
+            # exam_dir takes precedence over features in handle(); a request
+            # carrying both must not answer differently under load
+            key = ("report", int(request.get("seed", 42)), bool(request.get("bug_compat", True)))
+        if key is not None:
+            hash(key)  # nested lists make the tuple unhashable at lookup
+        return key
+    except (TypeError, ValueError):
+        return None
 
 
 def handle_group(engine: InferenceEngine, requests: list) -> list:
@@ -92,6 +102,13 @@ def handle_group(engine: InferenceEngine, requests: list) -> list:
         arrays.append(arr[None, :] if arr.ndim == 1 else arr)
     counts = [arr.shape[0] for arr in arrays]
     merged = np.concatenate(arrays, axis=0)
+    # pad the merged batch to the next power of two: the row count is
+    # load-dependent and the cascade path is jitted — without bucketing,
+    # every new size would trigger an XLA recompile on the hot path
+    total = merged.shape[0]
+    bucket = 1 << max(total - 1, 0).bit_length()
+    if bucket > total:
+        merged = np.concatenate([merged, np.repeat(merged[-1:], bucket - total, axis=0)])
     op = requests[0]["op"]
     results = []
     start = 0
@@ -157,24 +174,30 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
     async def dispatcher():
         while True:
             batch = [await queue.get()]
-            while len(batch) < max_batch:
-                try:
-                    batch.append(queue.get_nowait())
-                except asyncio.QueueEmpty:
-                    break
-            groups: dict = {}
-            order = []  # singles keep arrival order relative to each other
-            for item in batch:
-                key = _batch_key(item[0])
-                if key is None:
-                    order.append([item])
-                else:
-                    if key not in groups:
-                        groups[key] = []
-                        order.append(groups[key])
-                    groups[key].append(item)
-            for items in order:
-                await run_items(items)
+            try:
+                while len(batch) < max_batch:
+                    try:
+                        batch.append(queue.get_nowait())
+                    except asyncio.QueueEmpty:
+                        break
+                groups: dict = {}
+                order = []  # singles keep arrival order relative to each other
+                for item in batch:
+                    key = _batch_key(item[0])
+                    if key is None:
+                        order.append([item])
+                    else:
+                        if key not in groups:
+                            groups[key] = []
+                            order.append(groups[key])
+                        groups[key].append(item)
+                for items in order:
+                    await run_items(items)
+            except Exception as exc:  # noqa: BLE001 - the dispatcher must survive
+                # anything unexpected: fail THESE requests, keep serving
+                for _request, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
 
     dispatcher_task = asyncio.ensure_future(dispatcher())
 

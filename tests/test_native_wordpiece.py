@@ -117,3 +117,32 @@ def test_non_ascii_routes_to_python(pair):
 def test_native_is_actually_engaged_by_default():
     tok = Tokenizer(WordPieceTokenizer(), sequence_length=16)
     assert tok._native_backend() is not None
+
+
+def test_empty_string_token_does_not_shift_ids():
+    """A vocab containing the empty-string token must not shift later ids
+    off-by-one in the native blob (review fix: empty lines consume ids)."""
+    backend = WordPieceTokenizer()
+    vocab = dict(backend.vocab)
+    hole = len(vocab)
+    vocab[""] = hole  # dense, but serializes to an empty line
+    vocab["zzztail"] = hole + 1
+    native = NativeWordPiece(vocab, lowercase=True)
+    patched = WordPieceTokenizer(vocab, lowercase=True)
+    texts = ["zzztail mass margin is spiculated"]
+    ids, mask = native.encode_batch(texts, 16)
+    tok = Tokenizer(patched, sequence_length=16)
+    os.environ["MMGCLIP_NATIVE_TOKENIZER"] = "0"
+    try:
+        expected = Tokenizer(patched, sequence_length=16)(texts, max_length=16)
+    finally:
+        os.environ.pop("MMGCLIP_NATIVE_TOKENIZER", None)
+    np.testing.assert_array_equal(ids, expected["input_ids"])
+
+
+def test_newline_token_rejected():
+    backend = WordPieceTokenizer()
+    vocab = dict(backend.vocab)
+    vocab["bad\ntoken"] = len(vocab)
+    with pytest.raises(ValueError, match="newline"):
+        NativeWordPiece(vocab)

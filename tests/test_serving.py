@@ -316,3 +316,53 @@ def test_handle_group_splits_match_individual_results(experiment):
     grouped = handle_group(engine, report_requests)
     for request, group_result in zip(report_requests, grouped):
         assert group_result["reports"] == handle(engine, request)["reports"]
+
+
+def test_batch_key_rules():
+    """Malformed fields never raise (the dispatcher calls this), and
+    exam_dir-bearing reports are excluded (handle() precedence)."""
+    from serve import _batch_key
+
+    assert _batch_key({"op": "classify", "features": [[1.0]], "class_list": ["a"]}) is not None
+    assert _batch_key({"op": "report", "features": [[1.0]]}) is not None
+    # exam_dir takes precedence in handle(): must not coalesce on features
+    assert _batch_key({"op": "report", "features": [[1.0]], "exam_dir": "/x"}) is None
+    # malformed seed / unhashable class_list: non-batchable, not an exception
+    assert _batch_key({"op": "report", "features": [[1.0]], "seed": "abc"}) is None
+    assert _batch_key({"op": "classify", "features": [[1.0]], "class_list": [["a"]]}) is None
+    assert _batch_key({"op": "ping"}) is None
+
+
+def test_malformed_request_does_not_kill_dispatcher(experiment, tmp_path):
+    """A request whose batch key WOULD have raised must produce a per-client
+    error while the server keeps serving (review fix: a dead dispatcher task
+    would hang every future request forever)."""
+    import asyncio
+    import socket
+    import threading
+
+    from serve import serve_socket
+
+    run_dir, _, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+    sock_path = str(tmp_path / "mmg.sock")
+    ready = threading.Event()
+
+    def run_server():
+        asyncio.run(serve_socket(engine, unix_path=sock_path, ready_event=ready))
+
+    threading.Thread(target=run_server, daemon=True).start()
+    assert ready.wait(timeout=30)
+
+    conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    conn.connect(sock_path)
+    fh = conn.makefile("rw")
+    fh.write(json.dumps({"op": "report", "features": [[0.0] * 768],
+                         "seed": "abc", "id": 1}) + "\n")
+    fh.write(json.dumps({"op": "ping", "id": 2}) + "\n")
+    fh.flush()
+    first = json.loads(fh.readline())
+    assert first["id"] == 1 and "error" in first
+    second = json.loads(fh.readline())
+    assert second["id"] == 2 and second["result"] == {"ok": True}
+    conn.close()
