@@ -100,3 +100,20 @@ def test_cli_entry(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert "only" in open(os.path.join(out, "comparison.txt")).read()
+
+
+def test_radar_chart_for_three_plus_attributes(tmp_path):
+    """>=3 attributes produce the thesis-style radar PNG; fewer skip it."""
+    aucs = {"BenignMalignantDatasetLabels": 0.93, "MassShapeLabels": 0.72,
+            "MassMarginLabels": 0.64, "HasCalcification": 0.68}
+    run_a = _fake_run(str(tmp_path), "a", aucs)
+    run_b = _fake_run(str(tmp_path), "b", {k: v - 0.1 for k, v in aucs.items()})
+    out = str(tmp_path / "cmp")
+    result = compare_runs([run_a, run_b], out_dir=out)
+    assert result["radar"] is not None
+    assert os.path.isfile(os.path.join(out, "radar_auroc.png"))
+
+    out2 = str(tmp_path / "cmp2")
+    run_c = _fake_run(str(tmp_path), "c", {"BenignMalignantDatasetLabels": 0.9})
+    result2 = compare_runs([run_c], out_dir=out2)
+    assert result2["radar"] is None  # <3 axes: no radar

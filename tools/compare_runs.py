@@ -160,6 +160,40 @@ def _overlay_rocs(runs: List[Dict], labels: List[str], out_dir: str) -> List[str
     return written
 
 
+def _radar_chart(auc_table: Table, labels: List[str], out_dir: str) -> Optional[str]:
+    """The thesis' radar figure: one polygon per configuration over the
+    attribute axes (reference: models_performance_reporting.ipynb radar
+    cells feeding BASELINE.md's tables)."""
+    rows = [row for row in auc_table.rows
+            if all(isinstance(v, float) and np.isfinite(v) for v in row[1:])]
+    if len(rows) < 3:  # a radar needs at least 3 axes to be readable
+        return None
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception as exc:
+        logger.warning(f"Radar chart skipped (matplotlib unavailable: {exc})")
+        return None
+    attributes = [row[0] for row in rows]
+    angles = np.linspace(0, 2 * np.pi, len(attributes), endpoint=False).tolist()
+    fig, ax = plt.subplots(subplot_kw={"projection": "polar"}, figsize=(7, 7))
+    for idx, label in enumerate(labels):
+        values = [row[1 + idx] for row in rows]
+        ax.plot(angles + angles[:1], values + values[:1], lw=2, label=label)
+        ax.fill(angles + angles[:1], values + values[:1], alpha=0.1)
+    ax.set_xticks(angles)
+    ax.set_xticklabels(attributes, fontsize=8)
+    ax.set_ylim(0, 1)
+    ax.set_title("Zero-shot AUROC per attribute")
+    ax.legend(loc="lower right", bbox_to_anchor=(1.2, 0.0), fontsize=8)
+    path = os.path.join(out_dir, "radar_auroc.png")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def compare_runs(paths: List[str], labels: Optional[List[str]] = None,
                  out_dir: str = "outputs/comparison") -> Dict:
     if labels is None:
@@ -192,9 +226,10 @@ def compare_runs(paths: List[str], labels: Optional[List[str]] = None,
             for row in table.rows:
                 fh.write(metric + "," + ",".join(str(v) for v in row) + "\n")
     pngs = _overlay_rocs(runs, labels, out_dir)
+    radar = _radar_chart(tables["auc"], labels, out_dir)
     print(text)
     logger.info(f"Wrote comparison tables + {len(pngs)} ROC overlays to {out_dir}.")
-    return {"labels": labels, "tables": tables, "roc_overlays": pngs}
+    return {"labels": labels, "tables": tables, "roc_overlays": pngs, "radar": radar}
 
 
 def main() -> None:
