@@ -64,6 +64,13 @@ class InferenceEngine:
         self._encode_jit = jax.jit(self._encode_impl)
         self._prompt_cache: Dict[tuple, jnp.ndarray] = {}
         self._cascade_table = None
+        # the projection/classify math is tiny but eager dispatch costs one
+        # slow RPC per op on a remote device link (SKILL: eager is
+        # pathologically slow over the tunnel) — one jitted call each;
+        # programs specialize per batch shape (the socket dispatcher buckets
+        # merged batches to powers of two)
+        self._embed_jit = jax.jit(self._embed_impl)
+        self._probs_jit = jax.jit(self._probs_impl)
 
     # ------------------------------------------------------------------
     def _encode_impl(self, pixels_u8):
@@ -109,19 +116,25 @@ class InferenceEngine:
             )
         return self._prompt_cache[key]
 
+    def _embed_impl(self, params, feats):
+        flat = self.model.apply_image_tower(params, feats)
+        return l2_normalize(self.model.project_image(params, flat, train=False))
+
+    def _probs_impl(self, params, image_emb, text_emb):
+        logits = jnp.exp(params["logit_scale"]) * image_emb @ text_emb.T
+        return jax.nn.softmax(logits, axis=-1)
+
     def image_embeddings(self, features: np.ndarray) -> jnp.ndarray:
         feats = jnp.asarray(features, jnp.float32)
         if feats.ndim == 1:
             feats = feats[None, :]
-        flat = self.model.apply_image_tower(self.params, feats)
-        return l2_normalize(self.model.project_image(self.params, flat, train=False))
+        return self._embed_jit(self.params, feats)
 
     def classify(self, features: np.ndarray, class_list: Sequence[str]) -> Dict:
         """Zero-shot classify features against prompts -> probs + argmax."""
         image_emb = self.image_embeddings(features)
         text_emb = self._prompt_embeddings(class_list)
-        logits = jnp.exp(self.params["logit_scale"]) * image_emb @ text_emb.T
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        probs = np.asarray(self._probs_jit(self.params, image_emb, text_emb))
         return {
             "classes_similarities": probs.tolist(),
             "similarities_argmax": np.argmax(probs, axis=-1).tolist(),

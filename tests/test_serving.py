@@ -283,8 +283,10 @@ def test_serve_socket_microbatches_concurrent_classify(experiment, tmp_path):
         assert res["similarities_argmax"][0] in (0, 1)
         assert res["class_list"] == ["benign", "malignant"]
     # batching happened: 8 requests, strictly fewer device calls, at least
-    # one call carried a merged batch; every row was classified exactly once
-    assert sum(calls) == 8
+    # one call carried a merged batch.  Merged batches pad to power-of-two
+    # buckets (jit shape stability), so row counts may exceed the request
+    # count — but every request's row is covered
+    assert sum(calls) >= 8
     assert len(calls) < 8
     assert max(calls) >= 2
 
