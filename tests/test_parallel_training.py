@@ -147,3 +147,38 @@ def test_parallel_knob_validation(tmp_path):
     cfg.parallel = Config({"model_axis": len(jax.devices()) + 1, "pipeline_stages": 1})
     with pytest.raises(ValueError, match="cannot host"):
         exp_cls(config=cfg, tokenizer=None)
+
+
+def test_ep_checkpoint_resume_preserves_shardings(tmp_path):
+    """resume() must restore params/moments onto their CURRENT placements
+    (expert-sharded over the model axis), not blanket-replicate them."""
+    moe = {"projection_name": "MoEProjectionHead", "n_experts": 4, "capacity_factor": 2.0}
+    exp, _ = _run_experiment(
+        tmp_path, "moe_resume", epochs=2, overrides=["parallel=tp2"], projection=moe
+    )
+    assert exp._expert_sharded
+
+    def expert_leaf_specs(tree):
+        specs = []
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            if hasattr(leaf, "sharding"):
+                specs.append((jax.tree_util.keystr(path), str(leaf.sharding.spec)))
+        return specs
+
+    import jax
+
+    before = expert_leaf_specs(exp.params["image_projection"])
+    assert any("model" in spec for _k, spec in before)  # really expert-sharded
+
+    resumed = exp.resume()  # same instance: exercises the restore path
+    assert resumed
+    after = expert_leaf_specs(exp.params["image_projection"])
+    assert after == before  # placements survive the restore
+    opt_specs = expert_leaf_specs(exp.opt_state)
+    assert any("model" in spec for _k, spec in opt_specs)  # moments too
+
+    # training continues from the restored state without reinitializing
+    # (run() closed the scalar writer; reopen for the extra epoch)
+    exp.writer = type(exp.writer)(exp.config.base.tensorboard_export_dir)
+    loss = exp.train()
+    assert np.isfinite(loss)
