@@ -464,10 +464,12 @@ def bench_encode() -> dict:
                 "carries over. Input transfer not binding on v5e PCIe."
             ),
             "note": (
-                "value = median double-buffered end-to-end window; "
-                "overlap_efficiency = median / min(compute_only, h2d_pipeline) — "
-                "h2d_pipeline is the transfer+dispatch ceiling (no-op compute), "
-                "h2d_true the back-to-back link rate"
+                f"value = median end-to-end window with the "
+                f"{'double-buffered' if double_buffered else 'serial'} feed "
+                "(adaptive probe); overlap_efficiency = median / "
+                "min(compute_only, h2d_pipeline) — h2d_pipeline is the "
+                "transfer+dispatch ceiling (no-op compute), h2d_true the "
+                "back-to-back link rate"
             ),
         },
     }

@@ -59,6 +59,10 @@ class InferenceEngine:
         else:
             logger.warning(f"No checkpoint at {checkpoint_path}; serving with init params.")
             self.params = self.model.trainable_params
+        # resident ON DEVICE once: checkpoint loading returns numpy leaves,
+        # and numpy args to a jitted call re-transfer H2D per invocation —
+        # per-buffer transfer cost is the documented tunnel pathology
+        self.params = jax.device_put(self.params)
 
         self.encode_module, self.encode_params, self.cn_config = load_convnext_tower(config)
         self._encode_jit = jax.jit(self._encode_impl)
@@ -124,17 +128,32 @@ class InferenceEngine:
         logits = jnp.exp(params["logit_scale"]) * image_emb @ text_emb.T
         return jax.nn.softmax(logits, axis=-1)
 
+    @staticmethod
+    def _bucket_rows(feats):
+        """Pad the row count to the next power of two so jitted programs
+        specialize on a handful of shapes, not every request size."""
+        n = feats.shape[0]
+        bucket = 1 << max(n - 1, 0).bit_length()
+        if bucket > n:
+            feats = jnp.concatenate([feats, jnp.repeat(feats[-1:], bucket - n, axis=0)])
+        return feats, n
+
     def image_embeddings(self, features: np.ndarray) -> jnp.ndarray:
         feats = jnp.asarray(features, jnp.float32)
         if feats.ndim == 1:
             feats = feats[None, :]
-        return self._embed_jit(self.params, feats)
+        padded, n = self._bucket_rows(feats)
+        return self._embed_jit(self.params, padded)[:n]
 
     def classify(self, features: np.ndarray, class_list: Sequence[str]) -> Dict:
         """Zero-shot classify features against prompts -> probs + argmax."""
-        image_emb = self.image_embeddings(features)
+        feats = jnp.asarray(features, jnp.float32)
+        if feats.ndim == 1:
+            feats = feats[None, :]
+        padded, n = self._bucket_rows(feats)
         text_emb = self._prompt_embeddings(class_list)
-        probs = np.asarray(self._probs_jit(self.params, image_emb, text_emb))
+        image_emb = self._embed_jit(self.params, padded)
+        probs = np.asarray(self._probs_jit(self.params, image_emb, text_emb))[:n]
         return {
             "classes_similarities": probs.tolist(),
             "similarities_argmax": np.argmax(probs, axis=-1).tolist(),
@@ -151,7 +170,8 @@ class InferenceEngine:
             # single request: the packed-scalar fetch is the cheapest D2H on
             # high-latency links (report_cascade.run_cascade docstring)
             return [unpack_decisions(run_cascade(embeddings[0], table, mask))]
-        packed = np.asarray(run_cascade_batch(embeddings, table, mask))  # one fetch for n reports
+        padded, n = self._bucket_rows(embeddings)  # shape-stable jit programs
+        packed = np.asarray(run_cascade_batch(padded, table, mask))[:n]  # one fetch for n reports
         return [unpack_decisions(p) for p in packed]
 
     def generate_reports(

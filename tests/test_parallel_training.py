@@ -12,6 +12,7 @@ the 8-device virtual mesh.
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -134,8 +135,6 @@ def test_ep_moe_training_matches_replicated(tmp_path):
 
 def test_parallel_knob_validation(tmp_path):
     """Cheap structural checks: conflicting/undivisible layouts fail loudly."""
-    import jax
-
     cfg = compose(CONFIG_DIR, "train_binary_class_clf", run_dir=str(tmp_path / "run"))
     cfg.base.tensorboard_export_dir = str(tmp_path / "runs")
     cfg.checkpoints.checkpoints_export_dir = str(tmp_path / "ckpt")
@@ -164,8 +163,6 @@ def test_ep_checkpoint_resume_preserves_shardings(tmp_path):
             if hasattr(leaf, "sharding"):
                 specs.append((jax.tree_util.keystr(path), str(leaf.sharding.spec)))
         return specs
-
-    import jax
 
     before = expert_leaf_specs(exp.params["image_projection"])
     assert any("model" in spec for _k, spec in before)  # really expert-sharded

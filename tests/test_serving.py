@@ -285,8 +285,9 @@ def test_serve_socket_microbatches_concurrent_classify(experiment, tmp_path):
     # batching happened: 8 requests, strictly fewer device calls, at least
     # one call carried a merged batch.  Merged batches pad to power-of-two
     # buckets (jit shape stability), so row counts may exceed the request
-    # count — but every request's row is covered
-    assert sum(calls) >= 8
+    # count — bounded by 2x (the pow-2 ceiling), which still catches any
+    # duplicate enqueue/merge of a request's rows
+    assert 8 <= sum(calls) <= 16
     assert len(calls) < 8
     assert max(calls) >= 2
 

@@ -166,7 +166,12 @@ def _radar_chart(auc_table: Table, labels: List[str], out_dir: str) -> Optional[
     cells feeding BASELINE.md's tables)."""
     rows = [row for row in auc_table.rows
             if all(isinstance(v, float) and np.isfinite(v) for v in row[1:])]
+    dropped = [row[0] for row in auc_table.rows if row not in rows]
+    if dropped:
+        logger.info(f"Radar: dropped attributes missing in some run: {dropped}.")
     if len(rows) < 3:  # a radar needs at least 3 axes to be readable
+        if auc_table.rows:
+            logger.info(f"Radar skipped: only {len(rows)} complete attribute axes (<3).")
         return None
     try:
         import matplotlib
