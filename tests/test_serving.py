@@ -369,3 +369,81 @@ def test_malformed_request_does_not_kill_dispatcher(experiment, tmp_path):
     second = json.loads(fh.readline())
     assert second["id"] == 2 and second["result"] == {"ok": True}
     conn.close()
+
+
+def test_serve_socket_soak_mixed_ops(experiment, tmp_path):
+    """Soak: pipelined mixed-op traffic from several connections — every
+    request gets exactly one response with the right id, batchable and
+    non-batchable ops interleaved, no deadlock, order preserved per
+    connection."""
+    import asyncio
+    import socket
+    import threading
+
+    from serve import serve_socket
+
+    run_dir, png, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+    sock_path = str(tmp_path / "mmg.sock")
+    ready = threading.Event()
+
+    def run_server():
+        asyncio.run(serve_socket(engine, unix_path=sock_path, ready_event=ready))
+
+    threading.Thread(target=run_server, daemon=True).start()
+    assert ready.wait(timeout=30)
+
+    rng = np.random.default_rng(3)
+    per_conn = 12
+
+    def make_request(cid, i):
+        kind = (cid + i) % 4
+        rid = f"{cid}-{i}"
+        if kind == 0:
+            return {"op": "ping", "id": rid}
+        if kind == 1:
+            return {"op": "classify", "id": rid,
+                    "features": [rng.normal(size=768).tolist()],
+                    "class_list": ["benign", "malignant"]}
+        if kind == 2:
+            return {"op": "report", "id": rid,
+                    "features": [rng.normal(size=768).tolist()], "seed": 5}
+        return {"op": "bogus", "id": rid}  # error path interleaved
+
+    results = {}
+
+    def client(cid):
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(sock_path)
+        fh = conn.makefile("rw")
+        for i in range(per_conn):  # fully pipelined
+            fh.write(json.dumps(make_request(cid, i)) + "\n")
+        fh.flush()
+        order = []
+        for _ in range(per_conn):
+            response = json.loads(fh.readline())
+            order.append(response["id"])
+            results[response["id"]] = response
+        conn.close()
+        # responses come back in request order on each connection
+        assert order == [f"{cid}-{i}" for i in range(per_conn)], order
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+
+    assert len(results) == 4 * per_conn
+    for cid in range(4):
+        for i in range(per_conn):
+            response = results[f"{cid}-{i}"]
+            kind = (cid + i) % 4
+            if kind == 0:
+                assert response["result"] == {"ok": True}
+            elif kind == 1:
+                assert response["result"]["similarities_argmax"][0] in (0, 1)
+            elif kind == 2:
+                assert len(response["result"]["reports"]) == 1
+            else:
+                assert "bogus" in response["error"]
