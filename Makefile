@@ -2,7 +2,7 @@
 
 .PHONY: test test-fast test-smoke demo bench bench-train bench-report dryrun eda
 
-test:            ## full suite on the virtual 8-device CPU mesh (~45 min on 1 core)
+test:            ## full suite on the virtual 8-device CPU mesh (~14 min on 1 core)
 	python -m pytest tests/ -q
 
 test-fast:       ## fast tier gating commits
