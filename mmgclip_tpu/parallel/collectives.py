@@ -168,3 +168,26 @@ def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, c
         compiler_params=pltpu.CompilerParams(collective_id=collective_id),
         interpret=interpret,
     )(x)
+
+
+def ring_all_gather_diff(x, axis_name: str = DATA_AXIS, *, interpret: bool = False,
+                         collective_id=None):
+    """DIFFERENTIABLE ring all-gather: forward is the Pallas RDMA ring,
+    backward is the same transpose ``lax.all_gather`` has — a tiled
+    ``psum_scatter`` of the cotangent (each chip sums every chip's
+    contribution to its own chunk).  A raw ``pallas_call`` has no VJP, so
+    without this the kernel was inference-only; with it the ring gather can
+    serve training-path gathers (see ``parallel.contrastive``)."""
+
+    @jax.custom_vjp
+    def gather(x):
+        return ring_all_gather(x, axis_name, interpret=interpret, collective_id=collective_id)
+
+    def fwd(x):
+        return gather(x), None
+
+    def bwd(_residual, ct):
+        return (jax.lax.psum_scatter(ct, axis_name, scatter_dimension=0, tiled=True),)
+
+    gather.defvjp(fwd, bwd)
+    return gather(x)

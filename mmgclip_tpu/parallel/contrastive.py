@@ -37,7 +37,8 @@ def _shard_index(axis_name):
     return jax.lax.axis_index(axis_name)
 
 
-def global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name=DATA_AXIS):
+def global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name=DATA_AXIS,
+                     use_ring_gather: bool = False):
     """Symmetric InfoNCE against the gathered global batch.
 
     Must run inside a mapped context (shard_map / pjit-with-collectives) where
@@ -45,12 +46,24 @@ def global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name=D
     multi-slice DP.  Embeddings are the local shard [local_n, d], already
     L2-normalized.  Returns the mean loss (identical on every chip after
     pmean) and the local label offsets.
+
+    ``use_ring_gather`` routes the embedding gathers through the
+    differentiable Pallas RDMA ring (collectives.ring_all_gather_diff)
+    instead of XLA's combiner — same numerics and gradients
+    (tests/test_collectives.py); single-axis meshes only.
     """
     local_n = image_embeddings.shape[0]
     shard = _shard_index(axis_name)
 
-    all_image = jax.lax.all_gather(image_embeddings, axis_name, tiled=True)  # [global_n, d]
-    all_text = jax.lax.all_gather(text_embeddings, axis_name, tiled=True)
+    if use_ring_gather and not isinstance(axis_name, (tuple, list)):
+        from .collectives import ring_all_gather_diff
+
+        interpret = jax.default_backend() != "tpu"
+        all_image = ring_all_gather_diff(image_embeddings, axis_name, interpret=interpret)
+        all_text = ring_all_gather_diff(text_embeddings, axis_name, interpret=interpret)
+    else:
+        all_image = jax.lax.all_gather(image_embeddings, axis_name, tiled=True)  # [global_n, d]
+        all_text = jax.lax.all_gather(text_embeddings, axis_name, tiled=True)
 
     # local rows vs global columns
     logits_i = logit_scale * image_embeddings @ all_text.T  # [local_n, global_n]

@@ -127,3 +127,44 @@ def test_collective_ids_distinct_within_trace_stable_across_traces():
     too_many = FakeTrace()
     with pytest.raises(RuntimeError, match="explicit"):
         ids_for([FakeTracer(too_many) for _ in range(16)])
+
+
+def test_ring_gather_contrastive_loss_and_grads_match_xla():
+    """global_clip_loss(use_ring_gather=True): the differentiable Pallas
+    ring gather produces the same loss AND gradients as the XLA all_gather
+    path (the custom VJP's psum_scatter is all_gather's transpose)."""
+    import jax.numpy as jnp
+
+    from mmgclip_tpu.parallel.contrastive import global_clip_loss
+
+    from jax.sharding import Mesh
+
+    n_dev = len(jax.devices())
+    # pallas remote DMA with LOGICAL ids needs a single-axis mesh
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    rng = np.random.default_rng(0)
+    local, d = 8, 128  # tiles onto (8, 128) lanes -> the Pallas kernel runs
+    img = jnp.asarray(rng.normal(size=(local * n_dev, d)), jnp.float32)
+    txt = jnp.asarray(rng.normal(size=(local * n_dev, d)), jnp.float32)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.asarray(1 / 0.07, jnp.float32)
+    spec = PartitionSpec("data")
+
+    def loss_with(use_ring):
+        def fn(img, txt):
+            return jax.shard_map(
+                lambda i, t: global_clip_loss(i, t, scale, axis_name="data",
+                                              use_ring_gather=use_ring)[0],
+                mesh=mesh, in_specs=(spec, spec), out_specs=PartitionSpec(),
+                check_vma=False,  # interpret-mode pallas trips the vma checker
+            )(img, txt)
+
+        loss, grads = jax.value_and_grad(lambda a, b: fn(a, b), argnums=(0, 1))(img, txt)
+        return loss, grads
+
+    xla_loss, xla_grads = loss_with(False)
+    ring_loss, ring_grads = loss_with(True)
+    np.testing.assert_allclose(float(ring_loss), float(xla_loss), rtol=1e-6)
+    for rg, xg in zip(ring_grads, xla_grads):
+        np.testing.assert_allclose(np.asarray(rg), np.asarray(xg), atol=1e-6)
