@@ -38,6 +38,10 @@ class ConvNeXtConfig:
     # route the 7x7 depthwise conv through the Pallas kernel
     # (ops/depthwise_conv.py) instead of lax's grouped conv
     use_pallas_dwconv: bool = False
+    # run each residual block as ONE fused Pallas kernel
+    # (ops/fused_block.py): dwconv+LN+MLP+residual VMEM-resident, cutting
+    # per-block HBM traffic ~12x vs the unfused lax path
+    use_fused_blocks: bool = False
     # "int8": the pointwise (1x1) convs — ~92% of the tower's FLOPs — run as
     # dynamically-quantized int8 matmuls with int32 accumulation
     # (ops/quant.py; 2x MXU rate on v5e).  None = full-precision path.
@@ -78,6 +82,7 @@ class ConvNeXtStage(nn.Module):
     dtype: Any = jnp.float32
     unroll: Any = 1
     use_pallas_dwconv: bool = False
+    use_fused_blocks: bool = False
     quant: Any = None
 
     @nn.compact
@@ -102,10 +107,26 @@ class ConvNeXtStage(nn.Module):
         dtype = self.dtype
 
         use_pallas = self.use_pallas_dwconv
+        use_fused = self.use_fused_blocks
         quant = self.quant
 
         def block(x, p):
             from ..ops.depthwise_conv import depthwise_conv7x7
+
+            if use_fused and quant != "int8":
+                from ..ops.fused_block import fused_convnext_block
+
+                out = fused_convnext_block(
+                    x,
+                    p["dwconv_kernel"].astype(dtype), p["dwconv_bias"].astype(dtype),
+                    p["norm_scale"].astype(dtype), p["norm_bias"].astype(dtype),
+                    p["pwconv1_kernel"].astype(dtype), p["pwconv1_bias"].astype(dtype),
+                    p["pwconv2_kernel"].astype(dtype), p["pwconv2_bias"].astype(dtype),
+                    p["gamma"].astype(dtype),
+                )
+                if mask is not None:
+                    out = out * mask
+                return out, None
 
             residual = x
             if use_pallas:
@@ -186,7 +207,7 @@ class ConvNeXt(nn.Module):
                     valid_hw = -(-valid_hw // 2)
                     x = x * _valid_mask(x, valid_hw)
             mask = None if valid_hw is None else _valid_mask(x, valid_hw)
-            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, cfg.quant, name=f"stage_{stage}")(x, mask)
+            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, cfg.use_fused_blocks, cfg.quant, name=f"stage_{stage}")(x, mask)
 
         if not pool:
             return x

@@ -1,0 +1,213 @@
+"""Fused ConvNeXt-block Pallas kernel: the whole residual block in VMEM.
+
+The per-layer v5e roofline (bench.py, BENCH_r03) shows the encode tower is
+HBM-bound in stages 0-2 because every block intermediate — the dwconv
+output, the LayerNorm output, and the 4x-expanded pw1/GELU tensor — makes a
+round trip through HBM: ~25 element-passes of HBM traffic per block in the
+unfused lax path.  This kernel runs the ENTIRE ConvNeXt block
+
+    y = x + gamma * pw2(gelu(pw1(LN(dwconv7x7(x)))))
+
+(reference loop being replaced: mmgclip/networks/image_features.py:87-117)
+as one Pallas program per image with every intermediate VMEM-resident:
+HBM traffic drops to one read of x and one write of y (~2 element-passes,
+plus batch-amortized weights).
+
+Structure per program (one image):
+  * the input block is zero-extended into a [H+6, W+6, C] VMEM scratch —
+    the SAME-padding halo is materialized on-chip, never in HBM;
+  * output rows are produced in row-chunks: for each chunk the 49 dwconv
+    taps accumulate in fp32, LayerNorm normalizes over C, and the chunk's
+    [rows*W, C] matrix rides the MXU through pw1 -> GELU -> pw2 — the
+    4C-wide intermediate only ever exists for one chunk;
+  * layer-scale gamma and the residual add finish in registers before the
+    single HBM write.
+
+`fused_convnext_block` is differentiable: forward runs the kernel, backward
+re-derives gradients through the mathematically identical lax path (the
+image tower is frozen in every shipped training config, so the bwd path is
+a correctness safety net, not a hot path).  Falls back to the lax path on
+non-TPU backends and for shapes whose working set cannot fit VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = 7
+HALO = K // 2  # 3
+
+# VMEM working-set budget for the kernel path (input + output blocks are
+# double-buffered by the pipeline; weights use a constant index_map and stay
+# resident).  Leave headroom below the ~16 MB/core.
+_VMEM_BUDGET = 12 * 1024 * 1024
+# fp32 bytes allowed for one row-chunk's 4C-wide MLP intermediate
+_CHUNK_BUDGET = 2 * 1024 * 1024
+
+
+def _pick_tile_h(h: int, w: int, c: int) -> int:
+    """Largest divisor of `h` whose chunk intermediate fits the budget."""
+    max_rows = max(1, _CHUNK_BUDGET // (w * 4 * c * 4))
+    for tile in range(min(h, max_rows), 0, -1):
+        if h % tile == 0:
+            return tile
+    return 1
+
+
+def _erf(x):
+    """fp32 erf via the Abramowitz-Stegun 7.1.26 rational approximation
+    (max abs error 1.5e-7 — far below bf16 resolution), spelled with exp
+    only: Mosaic lowers neither the erf nor the erfc primitive on TPU."""
+    p = np.float32(0.3275911)
+    a1, a2, a3, a4, a5 = (np.float32(v) for v in
+                          (0.254829592, -0.284496736, 1.421413741,
+                           -1.453152027, 1.061405429))
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, w1_ref, b1_ref,
+            w2_ref, b2_ref, g_ref, o_ref, xpad_ref, *, tile_h: int, eps: float):
+    """x_ref/o_ref: [1, H, W, C]; xpad_ref: [H+6, W+6, C] VMEM scratch."""
+    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+
+    # materialize the SAME-padding halo on-chip
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    xpad_ref[HALO : HALO + h, HALO : HALO + w, :] = x_ref[0]
+
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+    dw_bias = dwb_ref[0].astype(jnp.float32)
+    n_scale = ns_ref[0].astype(jnp.float32)
+    n_bias = nb_ref[0].astype(jnp.float32)
+    b1 = b1_ref[0].astype(jnp.float32)
+    b2 = b2_ref[0].astype(jnp.float32)
+    gamma = g_ref[0].astype(jnp.float32)
+
+    def chunk(i, _):
+        r0 = pl.multiple_of(i * tile_h, tile_h)
+        # --- depthwise 7x7: 49 shifted multiply-adds, fp32 accumulation
+        acc = jnp.zeros((tile_h, w, c), jnp.float32)
+        for ky in range(K):
+            for kx in range(K):
+                tap = dwk_ref[ky, kx, 0, :].astype(jnp.float32)
+                win = xpad_ref[pl.ds(r0 + ky, tile_h), kx : kx + w, :]
+                acc = acc + win.astype(jnp.float32) * tap
+        acc = acc + dw_bias
+        # --- LayerNorm over C
+        mean = jnp.mean(acc, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
+        y = (acc - mean) * jax.lax.rsqrt(var + eps) * n_scale + n_bias
+        # --- MLP on the MXU; the 4C intermediate lives only for this chunk
+        y2 = y.astype(w1.dtype).reshape(tile_h * w, c)
+        hmid = jnp.dot(y2, w1, preferred_element_type=jnp.float32) + b1
+        # exact GELU spelled via the in-kernel erf (Mosaic lowers neither
+        # the erf nor the erfc primitive that jax.nn.gelu uses)
+        hmid = 0.5 * hmid * (1.0 + _erf(hmid * np.float32(1 / np.sqrt(2))))
+        out = jnp.dot(hmid.astype(w2.dtype), w2, preferred_element_type=jnp.float32) + b2
+        out = out.reshape(tile_h, w, c) * gamma
+        # --- layer scale + residual, single HBM write
+        residual = x_ref[0, pl.ds(r0, tile_h), :, :].astype(jnp.float32)
+        o_ref[0, pl.ds(r0, tile_h), :, :] = (residual + out).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h // tile_h, chunk, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret"))
+def _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps, interpret):
+    n, h, w, c = x.shape
+    row = lambda v: v.reshape(1, -1)  # noqa: E731 - 2D for clean (sublane, lane) layout
+
+    def vspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, eps=eps),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            vspec((K, K, 1, c)),
+            vspec((1, c)), vspec((1, c)), vspec((1, c)),
+            vspec((c, 4 * c)), vspec((1, 4 * c)),
+            vspec((4 * c, c)), vspec((1, c)),
+            vspec((1, c)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h + 2 * HALO, w + 2 * HALO, c), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(x, dwk, row(dwb), row(ns), row(nb), w1, row(b1), w2, row(b2), row(g))
+
+
+def _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
+    """The reference-math lax path (models/convnext.py block body)."""
+    c = x.shape[-1]
+    dt = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x, dwk.astype(dt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    ) + dwb.astype(dt)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.var(y, axis=-1, keepdims=True)
+    y = ((y - mean) * jax.lax.rsqrt(var + eps) * ns + nb).astype(dt)
+    y = jnp.einsum("bhwc,cf->bhwf", y, w1.astype(dt)) + b1.astype(dt)
+    y = jax.nn.gelu(y, approximate=False)
+    y = jnp.einsum("bhwf,fc->bhwc", y, w2.astype(dt)) + b2.astype(dt)
+    return x + g.astype(dt) * y
+
+
+def _vmem_working_set(h, w, c, dtype_bytes, tile_h):
+    io_blocks = 2 * 2 * h * w * c * dtype_bytes  # in+out, double-buffered
+    scratch = (h + 2 * HALO) * (w + 2 * HALO) * c * dtype_bytes
+    weights = (49 * c + 8 * c * c + 7 * c) * dtype_bytes
+    chunk = tile_h * w * (4 * c + 2 * c) * 4  # fp32 intermediate + dw acc
+    return io_blocks + scratch + weights + chunk
+
+
+# tests flip this to drive the REAL kernel (interpret mode) through the
+# model path on the CPU backend, where the default gate would fall back
+FORCE_INTERPRET = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret=False):
+    """One ConvNeXt block, VMEM-fused.  x: [n, h, w, c] NHWC.
+
+    Kernel path on TPU (or `interpret=True`) when the per-image working set
+    fits VMEM; exact-math lax fallback otherwise.  Differentiable via the
+    lax path (frozen-tower configs never take the backward)."""
+    interpret = interpret or FORCE_INTERPRET
+    n, h, w, c = x.shape
+    tile_h = _pick_tile_h(h, w, c)
+    usable = (
+        (interpret or jax.default_backend() == "tpu")
+        and _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET
+    )
+    if not usable:
+        return _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
+    return _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                       tile_h=tile_h, eps=1e-6, interpret=interpret)
+
+
+def _fwd(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret):
+    out = fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret)
+    return out, (x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
+
+
+def _bwd(interpret, residuals, ct):
+    _, vjp = jax.vjp(lambda *args: _lax_block(*args), *residuals)
+    return vjp(ct)
+
+
+fused_convnext_block.defvjp(_fwd, _bwd)

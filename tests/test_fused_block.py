@@ -1,0 +1,146 @@
+"""Fused ConvNeXt-block Pallas kernel (ops/fused_block.py): equality vs the
+lax path, gradient safety, shape/fallback gates, and the model wiring
+(ConvNeXtConfig.use_fused_blocks).  The kernel replaces the per-block
+dwconv->LN->MLP->residual chain whose HBM round trips bound the encode
+roofline (VERDICT r3 next #1; reference loop:
+mmgclip/networks/image_features.py:87-117)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgclip_tpu.ops import fused_block as fb
+from mmgclip_tpu.ops.fused_block import _lax_block, _pick_tile_h, fused_convnext_block
+
+
+def _params(rng, c, dtype=jnp.float32):
+    r = lambda *s: jnp.asarray(rng.normal(size=s) * 0.1, dtype)  # noqa: E731
+    return dict(
+        dwk=r(7, 7, 1, c), dwb=r(c), ns=1.0 + r(c), nb=r(c),
+        w1=r(c, 4 * c), b1=r(4 * c), w2=r(4 * c, c), b2=r(c), g=r(c),
+    )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 16, 16, 128),  # aligned lanes
+        (1, 12, 20, 96),   # ConvNeXt-Tiny stage0 channel count (lane-padded)
+        (2, 8, 8, 256),    # small spatial, single chunk
+    ],
+)
+def test_fused_block_matches_lax(shape):
+    rng = np.random.default_rng(0)
+    n, h, w, c = shape
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    p = _params(rng, c)
+    ref = _lax_block(x, *p.values())
+    out = fused_convnext_block(x, *p.values(), True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_block_multi_chunk_rows():
+    """H forces several row-chunks through the fori_loop path: chunk seams
+    must be invisible (the dwconv halo spans them)."""
+    rng = np.random.default_rng(1)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(1, 48, 8, c)), jnp.float32)
+    p = _params(rng, c)
+    # shrink the chunk budget so 48 rows split into several chunks
+    old = fb._CHUNK_BUDGET
+    fb._CHUNK_BUDGET = 8 * 4 * c * 4 * 8  # ~8 rows per chunk
+    try:
+        assert _pick_tile_h(48, 8, c) < 48
+        out = fused_convnext_block(x, *p.values(), True)
+    finally:
+        fb._CHUNK_BUDGET = old
+    ref = _lax_block(x, *p.values())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_block_gradient_matches_lax():
+    """custom_vjp: backward re-derives through the lax path — gradients of a
+    scalar loss through the fused block equal the pure-lax gradients."""
+    rng = np.random.default_rng(2)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, c)), jnp.float32)
+    p = _params(rng, c)
+
+    def loss_fused(x, w1):
+        q = dict(p, w1=w1)
+        return jnp.sum(fused_convnext_block(x, *q.values(), True) ** 2)
+
+    def loss_lax(x, w1):
+        q = dict(p, w1=w1)
+        return jnp.sum(_lax_block(x, *q.values()) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, p["w1"])
+    gx_l, gw_l = jax.grad(loss_lax, argnums=(0, 1))(x, p["w1"])
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_l), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_l), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_block_fallback_paths():
+    # non-TPU backend without interpret: lax fallback, correct result
+    rng = np.random.default_rng(3)
+    c = 32
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, c)), jnp.float32)
+    p = _params(rng, c)
+    out = fused_convnext_block(x, *p.values())
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_lax_block(x, *p.values())), atol=1e-5
+    )
+    # a working set far beyond VMEM must take the fallback even on TPU
+    assert fb._vmem_working_set(512, 512, 96, 2, _pick_tile_h(512, 512, 96)) > fb._VMEM_BUDGET
+
+
+def test_pick_tile_h_divides_h():
+    for h in (8, 12, 48, 56, 64):
+        t = _pick_tile_h(h, 64, 96)
+        assert h % t == 0 and t >= 1
+
+
+def test_convnext_model_fused_matches_unfused(monkeypatch):
+    """ConvNeXtConfig.use_fused_blocks routes every stage block through the
+    kernel (interpret-forced on CPU) and must reproduce the unfused tower's
+    features."""
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+
+    cfg = ConvNeXtConfig(depths=(1, 2, 1, 1), dims=(32, 64, 128, 256), in_channels=1)
+    module, params = init_convnext(cfg, seed=0, image_size=32)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)), jnp.float32)
+    ref = module.apply(params, x)
+
+    from dataclasses import replace
+
+    monkeypatch.setattr(fb, "FORCE_INTERPRET", True)
+    fused_module = ConvNeXt(replace(cfg, use_fused_blocks=True))
+    out = fused_module.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_convnext_fused_bucketed_mask_stays_exact(monkeypatch):
+    """Bucketed encode (valid_hw canvas padding) with fused blocks: the
+    pad-region re-zeroing happens outside the kernel and must keep canvas
+    runs equal to exact-shape runs."""
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(32, 64, 128, 256), in_channels=1)
+    module, params = init_convnext(cfg, seed=0, image_size=32)
+    rng = np.random.default_rng(5)
+    exact = jnp.asarray(rng.normal(size=(1, 24, 24, 1)), jnp.float32)
+    canvas = jnp.zeros((1, 32, 32, 1), jnp.float32).at[:, :24, :24, :].set(exact)
+    valid = jnp.asarray([[24, 24]], jnp.int32)
+
+    from dataclasses import replace
+
+    monkeypatch.setattr(fb, "FORCE_INTERPRET", True)
+    fused_module = ConvNeXt(replace(cfg, use_fused_blocks=True))
+    feats_exact = module.apply(params, exact)
+    feats_canvas = fused_module.apply(params, canvas, valid_hw=valid)
+    np.testing.assert_allclose(
+        np.asarray(feats_canvas), np.asarray(feats_exact), atol=2e-4, rtol=2e-4
+    )
