@@ -55,7 +55,8 @@ def axis_index(axis_name: str = DATA_AXIS):
 # ----------------------------------------------------------------------
 
 
-def _ring_all_gather_kernel(local_ref, out_ref, send_sems, recv_sems, *, num_devices: int, axis_name: str):
+def _ring_all_gather_kernel(local_ref, out_ref, send_sems, recv_sems, *, num_devices: int,
+                            axis_name: str, interpret: bool = False):
     """Unidirectional ring, race-free by construction: every transfer lands
     directly in a distinct ``out_ref`` slot (each slot written exactly once,
     and only forwarded after the local wait for its arrival), and every step
@@ -64,6 +65,23 @@ def _ring_all_gather_kernel(local_ref, out_ref, send_sems, recv_sems, *, num_dev
     reading (the hazard a shared double-buffer design has)."""
     my_id = jax.lax.axis_index(axis_name)
     chunk = local_ref.shape[0]
+
+    # Entry barrier with both ring neighbors (the standard collective-kernel
+    # prologue): Mosaic REQUIRES a custom barrier whenever collective_id is
+    # set (it rejects the combination at lowering otherwise), and it is also
+    # needed for hardware safety — without it my left neighbor's RDMA could
+    # land before this chip has entered the kernel.  Interpret mode cannot
+    # lower get_barrier_semaphore (and needs no barrier: the interpreter
+    # synchronizes devices itself), so the prologue is hardware-only.
+    if not interpret:
+        left = jax.lax.rem(my_id - 1 + num_devices, num_devices)
+        right = jax.lax.rem(my_id + 1, num_devices)
+        barrier_sem = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier_sem, inc=1, device_id=left,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier_sem, inc=1, device_id=right,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier_sem, 2)
 
     # own chunk into its output slot
     out_ref[pl.ds(my_id * chunk, chunk), :] = local_ref[...]
@@ -157,7 +175,8 @@ def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, c
         collective_id = _site_collective_id(x, x.shape, x.dtype, axis_name)
     out_shape = jax.ShapeDtypeStruct((chunk * num_devices, d), x.dtype, vma=frozenset({axis_name}))
     return pl.pallas_call(
-        functools.partial(_ring_all_gather_kernel, num_devices=num_devices, axis_name=axis_name),
+        functools.partial(_ring_all_gather_kernel, num_devices=num_devices, axis_name=axis_name,
+                          interpret=interpret),
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -178,6 +197,17 @@ def ring_all_gather_diff(x, axis_name: str = DATA_AXIS, *, interpret: bool = Fal
     contribution to its own chunk).  A raw ``pallas_call`` has no VJP, so
     without this the kernel was inference-only; with it the ring gather can
     serve training-path gathers (see ``parallel.contrastive``)."""
+    # Resolve the collective id HERE, outside the custom_vjp wrapper: each
+    # custom_vjp invocation traces ``gather`` under a fresh trace object, so
+    # resolving inside ring_all_gather would key on gather's (shared)
+    # file:line and reset the per-trace slot every invocation — two gathers
+    # in one program would then share one id (advisor r3 finding; shared
+    # ids mean shared barrier/semaphore state between concurrent rings).
+    # Keying on THIS function's caller distinguishes the call sites.
+    if collective_id is None:
+        chunk, d = x.shape
+        if not (chunk % 8 or d % 128):  # else ring_all_gather falls back to XLA
+            collective_id = _site_collective_id(x, x.shape, x.dtype, axis_name)
 
     @jax.custom_vjp
     def gather(x):

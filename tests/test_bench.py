@@ -59,8 +59,11 @@ def test_bench_encode_smoke():
         "bound", "binding_img_per_sec", "overlap_efficiency",
         "int8_compute_only_img_per_sec", "int8_max_feature_rel_err",
         "int8_min_feature_cosine",
+        "fused_compute_only_img_per_sec", "fused_max_feature_rel_err",
         "v5e_sol_img_per_sec", "v5e_projected_img_per_sec",
         "v5e_int8_projected_img_per_sec", "v5e_per_stage",
+        "v5e_fused_projected_img_per_sec", "v5e_fused_int8_projected_img_per_sec",
+        "v5e_fused_per_stage", "pass_medians_img_per_sec",
     ):
         assert key in detail
     # headline = MEDIAN double-buffered window (not the flattering tail)
@@ -95,11 +98,24 @@ def test_bench_encode_smoke():
     # the matmul ceiling so its SoL cannot be below bf16's
     assert detail["v5e_projected_img_per_sec"] <= detail["v5e_sol_img_per_sec"]
     for group in detail["v5e_per_stage"].values():
-        assert group["bound"] in ("mxu", "hbm")
+        assert group["bound"] in ("mxu", "vpu", "hbm")
     assert detail["v5e_int8_sol_img_per_sec"] >= detail["v5e_sol_img_per_sec"]
     assert 0 <= detail["int8_max_feature_rel_err"] < 1.0
     assert detail["int8_min_feature_cosine"] > 0.9
     assert set(detail["v5e_per_stage"]) >= {"stem", "stage0", "stage3", "down1"}
+    # fused-block projection: removing the per-block HBM round trips can
+    # only raise the speed-of-light; the CPU run's fused path (lax
+    # fallback) must still agree with the unfused tower
+    assert detail["v5e_fused_sol_img_per_sec"] >= detail["v5e_sol_img_per_sec"]
+    assert detail["v5e_fused_projected_img_per_sec"] <= detail["v5e_fused_sol_img_per_sec"]
+    assert detail["fused_max_feature_rel_err"] < 0.05
+    assert set(detail["v5e_fused_per_stage"]) >= {"stem", "stage0", "stage3"}
+    # the cross-run headline is the median of the pass medians
+    import numpy as np
+
+    assert result["value"] == pytest.approx(
+        float(np.median(detail["pass_medians_img_per_sec"])), rel=0.01
+    )
 
 
 def test_bench_train_smoke():

@@ -117,3 +117,26 @@ def test_radar_chart_for_three_plus_attributes(tmp_path):
     run_c = _fake_run(str(tmp_path), "c", {"BenignMalignantDatasetLabels": 0.9})
     result2 = compare_runs([run_c], out_dir=out2)
     assert result2["radar"] is None  # <3 axes: no radar
+
+
+def test_mean_curve_binary_picks_positive_class_by_name():
+    """Binary tasks must plot the POSITIVE class's ROC regardless of entry
+    order, and must SKIP the run (None) when only the negated-class curve
+    survived a degenerate split — not silently present 'No X' as the result
+    (advisor r3)."""
+    from compare_runs import _mean_curve
+
+    fpr = np.linspace(0, 1, 8).tolist()
+    pos = {"name": "mass", "auc": 0.9, "fpr": fpr, "tpr": fpr}
+    neg = {"name": "No mass", "auc": 0.6, "fpr": fpr, "tpr": fpr}
+
+    # positive class picked by name even when the negated entry comes last
+    for entries in ([neg, pos], [pos, neg]):
+        curve = _mean_curve(entries)
+        assert curve is not None
+        assert curve[2] == 0.9
+
+    # positive degenerate, negated survived -> skip, don't mislabel
+    degenerate_pos = {"name": "mass", "auc": 0.5, "fpr": [0.0], "tpr": [0.0]}
+    assert _mean_curve([neg, degenerate_pos]) is None
+    assert _mean_curve([degenerate_pos, neg]) is None

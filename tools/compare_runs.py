@@ -117,8 +117,18 @@ def _mean_curve(entries: List[Dict]) -> Optional[Tuple[np.ndarray, np.ndarray, f
     is_binary = len(entries) == 2 and any(
         e.get("name", "").lower().startswith("no ") for e in entries
     )
-    if is_binary or len(usable) == 1:
-        e = usable[-1]  # binary: ['No X', 'X'] — the positive class
+    if is_binary:
+        # select the POSITIVE class by name, not by position in `usable`: if
+        # its curve is degenerate but the 'No X' curve survived, usable[-1]
+        # would be the negated class — silently presented as the run's
+        # result (advisor r3).  No positive curve -> skip this run.
+        positives = [e for e in usable if not e.get("name", "").lower().startswith("no ")]
+        if not positives:
+            return None
+        e = positives[-1]
+        return np.asarray(e["fpr"]), np.asarray(e["tpr"]), float(e["auc"])
+    if len(usable) == 1:
+        e = usable[0]
         return np.asarray(e["fpr"]), np.asarray(e["tpr"]), float(e["auc"])
     from mmgclip_tpu.evaluation import metrics as M
 
