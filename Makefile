@@ -1,6 +1,6 @@
 # mmgclip_tpu developer targets
 
-.PHONY: test test-fast test-smoke demo bench bench-train bench-report dryrun eda
+.PHONY: test test-fast test-smoke demo bench bench-train bench-report dryrun reproduce eda
 
 test:            ## full suite on the virtual 8-device CPU mesh (~14 min on 1 core)
 	python -m pytest tests/ -q
@@ -29,8 +29,11 @@ bench-train:     ## fused-epoch train-step samples/sec
 bench-report:    ## one-call cascade latency vs stepwise
 	BENCH_MODE=report python bench.py
 
-dryrun:          ## multi-chip dryrun on a virtual 8-device CPU mesh (dp/tp/sp/pp/ep/zero1)
+dryrun:          ## multi-chip dryrun on a virtual 8-device CPU mesh (dp/tp/sp/pp/ep/zero1/multihost)
 	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+reproduce:       ## thesis-reproduction flow: convert -> encode -> train -> evaluate -> report
+	python tools/reproduce.py $(ARGS)     # real artifacts: ARGS="--convnext X.pt --bert DIR ..."; offline rehearsal: ARGS=--fixtures
 
 eda:             ## dataset statistics report (override paths with ARGS="key=value ...")
 	python tools/eda.py --config-name train_binary_class_clf $(ARGS)

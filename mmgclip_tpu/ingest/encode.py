@@ -78,6 +78,21 @@ def load_convnext_tower(config, seed: int = 0):
         with open(path, "rb") as fh:
             params = serialization.from_bytes(jax.device_get(params), fh.read())
         logger.info(f"Loaded ConvNeXt weights from {path}.")
+        # from_bytes restores by TREE STRUCTURE, not shape: a converted
+        # grayscale artifact (the reference's product ConvNeXt has a
+        # 1-channel stem, tools/convert_convnext.py preserves it) loads
+        # "successfully" into a 3-channel template and only explodes at
+        # apply time.  The stored stem kernel is the source of truth —
+        # adapt the tower config to it.
+        stem_in = int(params["params"]["stem_conv"]["kernel"].shape[2])
+        if stem_in != cn_config.in_channels:
+            logger.info(
+                f"Converted stem expects {stem_in} input channel(s); adapting "
+                f"tower config (was {cn_config.in_channels})."
+            )
+            cn_config = replace(cn_config, in_channels=stem_in)
+            module = type(module)(cn_config)  # apply() ignores in_channels, but
+            # keep module.cfg truthful for anyone who reads it
     else:
         logger.warning(
             f"ConvNeXt weight file {path!r} not found; using deterministic random init."

@@ -149,6 +149,7 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
     loop = asyncio.get_running_loop()
     executor = ThreadPoolExecutor(max_workers=1)
     queue: "asyncio.Queue" = asyncio.Queue()
+    shutdown_event = asyncio.Event()
 
     async def run_items(items):
         requests = [request for request, _fut in items]
@@ -193,6 +194,13 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
                         groups[key].append(item)
                 for items in order:
                     await run_items(items)
+            except asyncio.CancelledError:
+                # server shutdown mid-batch: the in-flight requests would
+                # otherwise hang their clients forever (advisor r3)
+                for _request, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(ConnectionError("server shutting down"))
+                raise
             except Exception as exc:  # noqa: BLE001 - the dispatcher must survive
                 # anything unexpected: fail THESE requests, keep serving
                 for _request, fut in batch:
@@ -221,6 +229,11 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
                     continue
                 request = json.loads(line)
                 rid = request.get("id")
+                if shutdown_event.is_set():
+                    # the dispatcher is gone: a request enqueued now would
+                    # never resolve (its bytes were already in the read
+                    # buffer when shutdown began)
+                    raise ConnectionError("server shutting down")
                 fut = loop.create_future()
                 await queue.put((request, fut))
                 result = await fut
@@ -248,10 +261,27 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
     if ready_event is not None:
         ready_event.set()
     try:
-        async with server:
-            await server.serve_forever()
+        # park until cancelled.  NOT serve_forever()/`async with server`: on
+        # Python 3.12 both await wait_closed() on the way out, which waits
+        # for connected CLIENTS to hang up — but our client handlers are
+        # blocked on futures that only resolve in the shutdown path below,
+        # so the old structure deadlocked the whole shutdown.
+        await loop.create_future()
     finally:
+        shutdown_event.set()  # reject requests still in client read buffers
+        server.close()  # stop accepting; existing handlers drain below
         dispatcher_task.cancel()
+        try:
+            await dispatcher_task
+        except BaseException:  # noqa: BLE001 - its CancelledError is expected
+            pass
+        # requests still queued will never be served: resolve their futures
+        # so connected clients get an error instead of hanging (advisor r3)
+        while not queue.empty():
+            _request, fut = queue.get_nowait()
+            if not fut.done():
+                fut.set_exception(ConnectionError("server shutting down"))
+        executor.shutdown(wait=False)
 
 
 def main() -> None:

@@ -447,3 +447,69 @@ def test_serve_socket_soak_mixed_ops(experiment, tmp_path):
                 assert len(response["result"]["reports"]) == 1
             else:
                 assert "bogus" in response["error"]
+
+
+def test_shutdown_resolves_pending_futures(experiment, tmp_path, monkeypatch):
+    """Server shutdown mid-work must FAIL queued/in-flight futures so clients
+    awaiting responses get an error instead of hanging forever (advisor r3):
+    the dispatcher fails its in-flight batch on CancelledError and the server
+    drains the queue after cancelling the dispatcher."""
+    import asyncio
+    import time
+
+    import serve as serve_mod
+    from serve import serve_socket
+
+    run_dir, _png, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+    sock_path = str(tmp_path / "shutdown.sock")
+
+    real_handle = serve_mod.handle
+
+    def slow_handle(engine, request):
+        if request.get("op") == "slowping":
+            time.sleep(1.5)  # keeps the dispatcher busy so later requests queue
+            return {"ok": True}
+        return real_handle(engine, request)
+
+    monkeypatch.setattr(serve_mod, "handle", slow_handle)
+
+    async def orchestrate():
+        import threading
+
+        ready = threading.Event()
+        server_task = asyncio.ensure_future(
+            serve_socket(engine, unix_path=sock_path, ready_event=ready)
+        )
+        for _ in range(2000):  # bounded: surface a server crash, never spin
+            if ready.is_set():
+                break
+            if server_task.done():
+                server_task.result()  # raises the server's startup error
+            await asyncio.sleep(0.01)
+        else:
+            raise RuntimeError("server never became ready")
+        reader, writer = await asyncio.open_unix_connection(sock_path)
+        for rid, op in [(1, "slowping"), (2, "slowping"), (3, "slowping")]:
+            writer.write((json.dumps({"op": op, "id": rid}) + "\n").encode())
+        await writer.drain()
+        await asyncio.sleep(0.4)  # request 1 in-flight, 2-3 queued
+        server_task.cancel()
+        try:
+            await server_task
+        except (asyncio.CancelledError, Exception):
+            pass
+        # every pending request resolves as an ERROR response (no hang)
+        responses = []
+        for _ in range(3):
+            line = await asyncio.wait_for(reader.readline(), timeout=10)
+            assert line, "connection dropped without responses"
+            responses.append(json.loads(line))
+        writer.close()
+        return responses
+
+    responses = asyncio.run(orchestrate())
+    by_id = {r["id"]: r for r in responses}
+    assert set(by_id) == {1, 2, 3}
+    for rid in (1, 2, 3):
+        assert "shutting down" in by_id[rid]["error"]

@@ -11,6 +11,8 @@ ConvNeXt: vs transformers.ConvNextModel (same topology as the torchvision
 ConvNeXt-Tiny the reference's TorchScript artifact derives from).
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -220,3 +222,40 @@ def test_convnext_npz_artifact_roundtrip(tmp_path):
     with torch.no_grad():
         theirs = hf_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
     np.testing.assert_allclose(ours, theirs.mean(axis=(2, 3)), atol=3e-4)
+
+
+def test_load_convnext_tower_adapts_stem_channels(tmp_path):
+    """A converted GRAYSCALE artifact (the reference's product ConvNeXt has a
+    1-channel stem) must load into a tower whose config did not say
+    in_channels=1: flax from_bytes restores by tree structure without shape
+    checks, so without adaptation the mismatch only explodes at apply time
+    (the reproduce-flow bug this pins down)."""
+    from flax import serialization
+
+    from mmgclip_tpu.config import Config
+    from mmgclip_tpu.ingest.encode import load_convnext_tower
+
+    gray = dataclasses.replace(ConvNeXtConfig.micro(), in_channels=1)
+    _module, params = init_convnext(gray, image_size=32)
+    artifact = tmp_path / "gray_clf.npz"
+    artifact.write_bytes(serialization.to_bytes(jax.device_get(params)))
+
+    cfg = Config(
+        {
+            "networks": {
+                "image_encoder": {
+                    "name": "ConvNextTiny",
+                    "convnext_tiny_clf_path": str(artifact),
+                    "image_features_dimension": 768,
+                    # note: no in_channels override — the loader must adapt
+                    "config": {"micro": True},
+                }
+            }
+        }
+    )
+    loaded_module, loaded_params, cn = load_convnext_tower(cfg)
+    assert cn.in_channels == 1
+    assert loaded_module.config.in_channels == 1
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    feats = np.asarray(loaded_module.apply(loaded_params, jnp.asarray(x)))
+    assert feats.shape == (2, gray.dims[-1]) and np.isfinite(feats).all()
