@@ -145,13 +145,26 @@ def _worker(num_processes: int, process_id: int, coordinator: str) -> None:
     assert err < 1e-5, f"multihost step diverges from single-process oracle: {err}"
 
 
+def _free_port() -> int:
+    """An OS-assigned free TCP port (released immediately — a tiny race
+    window, but unlike a hard-coded port it never collides with a lingering
+    worker from a previous run)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def run_multihost_dryrun(n_processes: int = 2, n_devices: int = 8,
-                         port: int = 12721, timeout: int = 600) -> float:
+                         port: int | None = None, timeout: int = 600) -> float:
     """Launch ``n_processes`` fresh CPU processes x ``n_devices/n_processes``
     virtual devices each, run the rehearsal, and return the worst
     worker-reported error.  Raises if any worker fails."""
     assert n_devices % n_processes == 0
     local = n_devices // n_processes
+    if port is None:
+        port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     procs = []
     for pid in range(n_processes):
@@ -180,21 +193,28 @@ def run_multihost_dryrun(n_processes: int = 2, n_devices: int = 8,
             )
         )
     outputs, errs = [], []
-    for pid, proc in enumerate(procs):
-        try:
-            out, _ = proc.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            out, _ = proc.communicate()
-            raise RuntimeError(f"multihost worker {pid} timed out:\n{out[-2000:]}")
-        outputs.append(out)
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"multihost worker {pid} failed rc={proc.returncode}:\n{out[-2000:]}"
-            )
-        for line in out.splitlines():
-            if "mh_err=" in line:
-                errs.append(float(line.rsplit("mh_err=", 1)[1].split()[0]))
+    try:
+        for pid, proc in enumerate(procs):
+            try:
+                out, _ = proc.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                out, _ = proc.communicate()
+                raise RuntimeError(f"multihost worker {pid} timed out:\n{out[-2000:]}")
+            outputs.append(out)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"multihost worker {pid} failed rc={proc.returncode}:\n{out[-2000:]}"
+                )
+            for line in out.splitlines():
+                if "mh_err=" in line:
+                    errs.append(float(line.rsplit("mh_err=", 1)[1].split()[0]))
+    finally:
+        # one worker failing must not orphan the rest (they would hold the
+        # coordinator port and spin until their own timeout)
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
     if len(errs) != n_processes:
         raise RuntimeError(f"expected {n_processes} worker reports, got {len(errs)}")
     return max(errs)
