@@ -71,6 +71,11 @@ def load_convnext_tower(config, seed: int = 0):
         # error bounded by tests/test_quant.py + the bench's recorded
         # int8_max_feature_rel_err
         cn_config = replace(cn_config, quant=str(overrides["quant"]))
+    if overrides.get("use_fused_blocks"):
+        # whole-block VMEM-resident Pallas kernel (ops/fused_block.py):
+        # collapses the block's ~25 HBM element-passes to ~2 on real TPU;
+        # falls back to the identical-math lax path off-TPU
+        cn_config = replace(cn_config, use_fused_blocks=True)
     module, params = init_convnext(cn_config, seed=seed, image_size=64)
     if path and os.path.isfile(path) and path.endswith(".npz"):
         from flax import serialization

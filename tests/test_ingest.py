@@ -239,3 +239,43 @@ def test_int8_quant_encode_config_knob(tmp_path):
     cos = float(np.dot(fp_feats, q8_feats) / (np.linalg.norm(fp_feats) * np.linalg.norm(q8_feats)))
     assert cos > 0.99
     assert not np.array_equal(fp_feats, q8_feats)  # the int8 path really ran
+
+
+def test_fused_blocks_encode_config_knob(tmp_path):
+    """networks.image_encoder.config.use_fused_blocks reaches the real encode
+    pipeline (not just the bench): the whole-block Pallas kernel
+    (interpret-forced on this CPU backend) produces the fp tower's features."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+    from mmgclip_tpu.ops import fused_block
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.base.features_export_dir = str(tmp_path / "fp")
+
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(rng.integers(0, 256, (32, 32), dtype=np.uint8), mode="L").save(p)
+    df = pd.DataFrame({"image_path": [p]})
+
+    ImageFeatureExtractor(config=cfg, dataset=df, batch_size=2).extract()
+    rel = os.path.join(*p.strip(os.sep).split(os.sep)[-4:]).replace(".png", ".npy")
+    fp_feats = np.load(os.path.join(str(tmp_path / "fp"), rel)).ravel()
+
+    cfg.networks.image_encoder.config.use_fused_blocks = True
+    cfg.base.features_export_dir = str(tmp_path / "fused")
+    extractor = ImageFeatureExtractor(config=cfg, dataset=df, batch_size=2)
+    assert extractor.cn_config.use_fused_blocks is True
+    old = fused_block.FORCE_INTERPRET
+    fused_block.FORCE_INTERPRET = True  # drive the REAL kernel on this CPU backend
+    try:
+        extractor.extract()
+    finally:
+        fused_block.FORCE_INTERPRET = old
+    fused_feats = np.load(os.path.join(str(tmp_path / "fused"), rel)).ravel()
+
+    np.testing.assert_allclose(fused_feats, fp_feats, atol=2e-3, rtol=2e-3)
