@@ -274,7 +274,12 @@ def bench_encode() -> dict:
         unroll = 1  # lax.scan unroll=1 == no unrolling
     else:
         unroll = int(unroll)
-    config = ConvNeXtConfig(in_channels=1, dtype=dtype, unroll_blocks=unroll)
+    # layer_scale_init at a TRAINED magnitude (~0.1), not the training-init
+    # 1e-6: at 1e-6 every residual block is ~identity, so the int8/fused
+    # feature-error stats below would measure bf16 reorder noise on the
+    # stem/LN skeleton instead of the kernels' actual math error
+    config = ConvNeXtConfig(in_channels=1, dtype=dtype, unroll_blocks=unroll,
+                            layer_scale_init=0.1)
     module, params = init_convnext(config, seed=0, image_size=size)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
@@ -479,6 +484,35 @@ def bench_encode() -> dict:
             "fused_max_feature_rel_err": round(float(fused_stats[0]), 5),
             "fused_min_feature_cosine": round(float(fused_stats[1]), 5),
         }
+
+        # fused + int8: in-kernel int8 pointwise matmuls (per-chunk
+        # activation scales in VMEM) — the combination the per-layer v5e
+        # roofline projects highest (fused removes the HBM bound, int8
+        # doubles the remaining MXU rate)
+        fused_q_module = ConvNeXt(
+            dc_replace(config, use_fused_blocks=True, quant="int8"))
+
+        @jax.jit
+        def encode_fused_int8(pixels_u8):
+            x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
+            return fused_q_module.apply(params, x)
+
+        try:
+            fq_feats = encode_fused_int8(device_pixels)  # warmup / compile
+            fq_stats = np.asarray(feature_deviation(ref_feats, fq_feats))
+            start = time.perf_counter()
+            for _ in range(iters):
+                out = encode_fused_int8(device_pixels)
+            fence(out)
+            fq_rate = batch * iters / (time.perf_counter() - start)
+            fused_detail.update({
+                "fused_int8_compute_only_img_per_sec": round(fq_rate, 1),
+                "fused_int8_vs_unfused_compute": round(fq_rate / max(compute_rate, 1e-9), 3),
+                "fused_int8_max_feature_rel_err": round(float(fq_stats[0]), 5),
+                "fused_int8_min_feature_cosine": round(float(fq_stats[1]), 5),
+            })
+        except Exception as exc:  # record a lowering failure, don't hide it
+            fused_detail["fused_int8_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # ---- v5e projection from PER-LAYER rooflines (VERDICT r2 #6), not
     # global MFU: bandwidth-bound layers (dwconv/LN/GELU) are priced at

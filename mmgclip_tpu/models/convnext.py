@@ -40,7 +40,9 @@ class ConvNeXtConfig:
     use_pallas_dwconv: bool = False
     # run each residual block as ONE fused Pallas kernel
     # (ops/fused_block.py): dwconv+LN+MLP+residual VMEM-resident, cutting
-    # per-block HBM traffic ~12x vs the unfused lax path
+    # per-block HBM traffic ~12x vs the unfused lax path.  Composes with
+    # quant="int8": the in-kernel int8 variant quantizes activations
+    # per-chunk in VMEM (fused_convnext_block_int8)
     use_fused_blocks: bool = False
     # "int8": the pointwise (1x1) convs — ~92% of the tower's FLOPs — run as
     # dynamically-quantized int8 matmuls with int32 accumulation
@@ -113,10 +115,13 @@ class ConvNeXtStage(nn.Module):
         def block(x, p):
             from ..ops.depthwise_conv import depthwise_conv7x7
 
-            if use_fused and quant != "int8":
-                from ..ops.fused_block import fused_convnext_block
+            if use_fused:
+                from ..ops.fused_block import (fused_convnext_block,
+                                               fused_convnext_block_int8)
 
-                out = fused_convnext_block(
+                kernel_fn = (fused_convnext_block_int8 if quant == "int8"
+                             else fused_convnext_block)
+                out = kernel_fn(
                     x,
                     p["dwconv_kernel"].astype(dtype), p["dwconv_bias"].astype(dtype),
                     p["norm_scale"].astype(dtype), p["norm_bias"].astype(dtype),

@@ -75,10 +75,36 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, g_ref, o_ref, xpad_ref, *, tile_h: int, eps: float):
-    """x_ref/o_ref: [1, H, W, C]; xpad_ref: [H+6, W+6, C] VMEM scratch."""
+def _quantize_chunk(y):
+    """In-kernel dynamic symmetric int8 quantization (per-chunk scale).
+
+    Mirrors ops/quant.py::int8_quantize's per-tensor scheme at chunk
+    granularity — a strictly finer partition, so the error bound can only
+    tighten vs the unfused int8 path."""
+    amax = jnp.max(jnp.abs(y))
+    scale = jnp.maximum(amax, np.float32(1e-8)) * np.float32(1.0 / 127.0)
+    q = jnp.clip(jnp.round(y / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, *rest,
+            tile_h: int, eps: float, quant: bool):
+    """x_ref/o_ref: [1, H, W, C]; xpad_ref: [H+6, W+6, C] VMEM scratch.
+
+    ``quant=False`` rest: (w1, b1, w2, b2, g, o, xpad);
+    ``quant=True``  rest: (w1q, ws1, b1, w2q, ws2, b2, g, o, xpad) with
+    int8 per-output-channel-scaled weights and int32 MXU accumulation —
+    the v5e runs int8 x int8 at 2x the bf16 MXU rate, and with every
+    quantize/dequantize VMEM-resident the unfused int8 path's extra HBM
+    round trips (the reason it measured as a slowdown) disappear."""
     h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    if quant:
+        (w1_ref, ws1_ref, b1_ref, w2_ref, ws2_ref, b2_ref,
+         g_ref, o_ref, xpad_ref) = rest
+        ws1 = ws1_ref[0].astype(jnp.float32)
+        ws2 = ws2_ref[0].astype(jnp.float32)
+    else:
+        w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref, xpad_ref = rest
 
     # materialize the SAME-padding halo on-chip
     xpad_ref[:] = jnp.zeros_like(xpad_ref)
@@ -108,12 +134,23 @@ def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, w1_ref, b1_ref,
         var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
         y = (acc - mean) * jax.lax.rsqrt(var + eps) * n_scale + n_bias
         # --- MLP on the MXU; the 4C intermediate lives only for this chunk
-        y2 = y.astype(w1.dtype).reshape(tile_h * w, c)
-        hmid = jnp.dot(y2, w1, preferred_element_type=jnp.float32) + b1
+        if quant:
+            yq, ys = _quantize_chunk(y.reshape(tile_h * w, c))
+            hmid = jnp.dot(yq, w1, preferred_element_type=jnp.int32)
+            hmid = hmid.astype(jnp.float32) * (ys * ws1) + b1
+        else:
+            y2 = y.astype(w1.dtype).reshape(tile_h * w, c)
+            hmid = jnp.dot(y2, w1, preferred_element_type=jnp.float32) + b1
         # exact GELU spelled via the in-kernel erf (Mosaic lowers neither
         # the erf nor the erfc primitive that jax.nn.gelu uses)
         hmid = 0.5 * hmid * (1.0 + _erf(hmid * np.float32(1 / np.sqrt(2))))
-        out = jnp.dot(hmid.astype(w2.dtype), w2, preferred_element_type=jnp.float32) + b2
+        if quant:
+            hq, hs = _quantize_chunk(hmid)
+            out = jnp.dot(hq, w2, preferred_element_type=jnp.int32)
+            out = out.astype(jnp.float32) * (hs * ws2) + b2
+        else:
+            out = jnp.dot(hmid.astype(w2.dtype), w2,
+                          preferred_element_type=jnp.float32) + b2
         out = out.reshape(tile_h, w, c) * gamma
         # --- layer scale + residual, single HBM write
         residual = x_ref[0, pl.ds(r0, tile_h), :, :].astype(jnp.float32)
@@ -132,7 +169,7 @@ def _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps, interpre
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, eps=eps),
+        functools.partial(_kernel, tile_h=tile_h, eps=eps, quant=False),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -150,6 +187,43 @@ def _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps, interpre
     )(x, dwk, row(dwb), row(ns), row(nb), w1, row(b1), w2, row(b2), row(g))
 
 
+@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret"))
+def _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps,
+                     interpret):
+    """Int8 variant: weights quantized per-output-channel OUTSIDE the kernel
+    (batch-amortized, and XLA hoists it across pmapped/scanned calls);
+    activations quantized per-chunk INSIDE, so nothing int8-related ever
+    touches HBM."""
+    from .quant import int8_quantize
+
+    n, h, w, c = x.shape
+    w1q, ws1 = int8_quantize(w1, axis=0)  # [c,4c] int8, [1,4c] f32
+    w2q, ws2 = int8_quantize(w2, axis=0)  # [4c,c] int8, [1,c]  f32
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+
+    def vspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, eps=eps, quant=True),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            vspec((K, K, 1, c)),
+            vspec((1, c)), vspec((1, c)), vspec((1, c)),
+            vspec((c, 4 * c)), vspec((1, 4 * c)), vspec((1, 4 * c)),
+            vspec((4 * c, c)), vspec((1, c)), vspec((1, c)),
+            vspec((1, c)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h + 2 * HALO, w + 2 * HALO, c), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(x, dwk, row(dwb), row(ns), row(nb),
+      w1q, ws1, row(b1), w2q, ws2, row(b2), row(g))
+
+
 def _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
     """The reference-math lax path (models/convnext.py block body)."""
     c = x.shape[-1]
@@ -164,6 +238,26 @@ def _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
     y = jnp.einsum("bhwc,cf->bhwf", y, w1.astype(dt)) + b1.astype(dt)
     y = jax.nn.gelu(y, approximate=False)
     y = jnp.einsum("bhwf,fc->bhwc", y, w2.astype(dt)) + b2.astype(dt)
+    return x + g.astype(dt) * y
+
+
+def _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
+    """Reference-math int8 fallback: the unfused quant path of
+    models/convnext.py (int8_dot on the two pointwise convs)."""
+    from .quant import int8_dot
+
+    c = x.shape[-1]
+    dt = x.dtype
+    y = jax.lax.conv_general_dilated(
+        x, dwk.astype(dt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    ) + dwb.astype(dt)
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.var(y, axis=-1, keepdims=True)
+    y = ((y - mean) * jax.lax.rsqrt(var + eps) * ns + nb).astype(dt)
+    y = int8_dot(y, w1, out_dtype=dt) + b1.astype(dt)
+    y = jax.nn.gelu(y, approximate=False)
+    y = int8_dot(y, w2, out_dtype=dt) + b2.astype(dt)
     return x + g.astype(dt) * y
 
 
@@ -211,3 +305,43 @@ def _bwd(interpret, residuals, ct):
 
 
 fused_convnext_block.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def fused_convnext_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                              interpret=False):
+    """One ConvNeXt block, VMEM-fused with int8 pointwise matmuls.
+
+    Combines the two levers the per-layer v5e roofline says matter: the
+    fused kernel removes the HBM round trips that bind stages 0-2, and the
+    int8 MXU rate (394 TOPS vs 197 bf16 TFLOP/s on v5e) halves what's left
+    of the now-MXU-bound pointwise time.  Weight scales are per-output-
+    channel (ops/quant.py scheme); activation scales are per-row-chunk —
+    a finer partition than the unfused path's per-tensor scale.  Backward
+    differentiates the unfused int8 math (frozen-tower safety net, as for
+    the bf16 kernel)."""
+    interpret = interpret or FORCE_INTERPRET
+    n, h, w, c = x.shape
+    tile_h = _pick_tile_h(h, w, c)
+    usable = (
+        (interpret or jax.default_backend() == "tpu")
+        and _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET
+    )
+    if not usable:
+        return _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
+    return _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                            tile_h=tile_h, eps=1e-6, interpret=interpret)
+
+
+def _fwd_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret):
+    out = fused_convnext_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                                    interpret)
+    return out, (x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
+
+
+def _bwd_int8(interpret, residuals, ct):
+    _, vjp = jax.vjp(lambda *args: _lax_block_int8(*args), *residuals)
+    return vjp(ct)
+
+
+fused_convnext_block_int8.defvjp(_fwd_int8, _bwd_int8)

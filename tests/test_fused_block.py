@@ -96,6 +96,81 @@ def test_fused_block_fallback_paths():
     assert fb._vmem_working_set(512, 512, 96, 2, _pick_tile_h(512, 512, 96)) > fb._VMEM_BUDGET
 
 
+def test_fused_int8_block_close_to_fp32_and_int8_lax():
+    """The int8 kernel (per-chunk activation scales, per-channel weight
+    scales, int32 MXU accumulation) must track the fp32 math within the
+    quant error budget AND sit near the unfused int8 reference path — its
+    per-chunk activation scale is a finer partition of the per-tensor scheme
+    (ops/quant.py), not a different one."""
+    from mmgclip_tpu.ops.fused_block import (_lax_block_int8,
+                                             fused_convnext_block_int8)
+
+    rng = np.random.default_rng(6)
+    for shape in [(2, 16, 16, 128), (1, 12, 20, 96)]:
+        n, h, w, c = shape
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        p = _params(rng, c)
+        fp32 = np.asarray(_lax_block(x, *p.values()))
+        q_lax = np.asarray(_lax_block_int8(x, *p.values()))
+        q_fused = np.asarray(fused_convnext_block_int8(x, *p.values(), True))
+        scale = np.abs(fp32).max()
+        # both int8 paths within the quant budget of fp32
+        assert np.abs(q_lax - fp32).max() / scale < 0.02
+        assert np.abs(q_fused - fp32).max() / scale < 0.02
+        # and the fused path no farther from fp32 than 2x the unfused one
+        assert (np.abs(q_fused - fp32).max()
+                <= 2.0 * np.abs(q_lax - fp32).max() + 1e-6)
+
+
+def test_fused_int8_gradient_matches_unfused_int8():
+    """custom_vjp backward of the int8 kernel differentiates the unfused
+    int8 math (zero grads through round(), STE-free — the tower is frozen
+    in every shipped config, this is the safety net)."""
+    from mmgclip_tpu.ops.fused_block import (_lax_block_int8,
+                                             fused_convnext_block_int8)
+
+    rng = np.random.default_rng(7)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, c)), jnp.float32)
+    p = _params(rng, c)
+
+    gx_f = jax.grad(lambda x: jnp.sum(
+        fused_convnext_block_int8(x, *p.values(), True) ** 2))(x)
+    gx_l = jax.grad(lambda x: jnp.sum(_lax_block_int8(x, *p.values()) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_l),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_convnext_model_fused_int8_close_to_fp32(monkeypatch):
+    """use_fused_blocks + quant='int8' routes every stage block through the
+    int8 kernel; full-tower features must stay within the int8 error budget
+    of the fp32 tower (mirrors the unfused quant gate in test_quant.py).
+    layer_scale_init must be at trained magnitude: at the 1e-6 training init
+    the blocks are ~identity and int8-vs-fp32 would pass vacuously."""
+    from dataclasses import replace
+
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+
+    cfg = ConvNeXtConfig(depths=(1, 2, 1, 1), dims=(32, 64, 128, 256),
+                         in_channels=1, layer_scale_init=0.1)
+    module, params = init_convnext(cfg, seed=0, image_size=32)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)), jnp.float32)
+    ref = np.asarray(module.apply(params, x))
+
+    monkeypatch.setattr(fb, "FORCE_INTERPRET", True)
+    qmod = ConvNeXt(replace(cfg, use_fused_blocks=True, quant="int8"))
+    out = np.asarray(qmod.apply(params, x))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    cos = float((out * ref).sum()
+                / (np.linalg.norm(out) * np.linalg.norm(ref)))
+    assert rel < 0.02 and cos > 0.999
+    # the int8 path must be LIVE: its output differs measurably from the
+    # fp32 fused tower (guards against the branch silently not quantizing)
+    fp = np.asarray(ConvNeXt(replace(cfg, use_fused_blocks=True)).apply(params, x))
+    assert np.abs(out - fp).max() > 1e-4
+
+
 def test_pick_tile_h_divides_h():
     for h in (8, 12, 48, 56, 64):
         t = _pick_tile_h(h, 64, 96)
@@ -108,7 +183,10 @@ def test_convnext_model_fused_matches_unfused(monkeypatch):
     features."""
     from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
 
-    cfg = ConvNeXtConfig(depths=(1, 2, 1, 1), dims=(32, 64, 128, 256), in_channels=1)
+    # layer_scale_init at trained magnitude — at the 1e-6 training init every
+    # block is ~identity and the equality check would not exercise the kernel
+    cfg = ConvNeXtConfig(depths=(1, 2, 1, 1), dims=(32, 64, 128, 256),
+                         in_channels=1, layer_scale_init=0.1)
     module, params = init_convnext(cfg, seed=0, image_size=32)
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)), jnp.float32)
