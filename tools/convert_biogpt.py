@@ -13,6 +13,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Conversion is pure weight reshaping: force the CPU backend BEFORE any jax
+# backend init.  The JAX_PLATFORMS env var is NOT enough — the axon TPU
+# plugin ignores it, and on that tunnel a first full-tower compile takes
+# ~15 min (the reproduce flow's converter subprocesses were timing out).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
