@@ -505,19 +505,24 @@ def bench_encode() -> dict:
             x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
             return fused_module.apply(params, x)
 
-        fused_feats = encode_fused(device_pixels)  # warmup / compile
-        fused_stats = np.asarray(feature_deviation(ref_feats, fused_feats))
-        start = time.perf_counter()
-        for _ in range(iters):
-            out = encode_fused(device_pixels)
-        fence(out)
-        fused_compute_rate = batch * iters / (time.perf_counter() - start)
-        fused_detail = {
-            "fused_compute_only_img_per_sec": round(fused_compute_rate, 1),
-            "fused_vs_unfused_compute": round(fused_compute_rate / max(compute_rate, 1e-9), 3),
-            "fused_max_feature_rel_err": round(float(fused_stats[0]), 5),
-            "fused_min_feature_cosine": round(float(fused_stats[1]), 5),
-        }
+        try:
+            fused_feats = encode_fused(device_pixels)  # warmup / compile
+            fused_stats = np.asarray(feature_deviation(ref_feats, fused_feats))
+            start = time.perf_counter()
+            for _ in range(iters):
+                out = encode_fused(device_pixels)
+            fence(out)
+            fused_compute_rate = batch * iters / (time.perf_counter() - start)
+            fused_detail = {
+                "fused_compute_only_img_per_sec": round(fused_compute_rate, 1),
+                "fused_vs_unfused_compute": round(fused_compute_rate / max(compute_rate, 1e-9), 3),
+                "fused_max_feature_rel_err": round(float(fused_stats[0]), 5),
+                "fused_min_feature_cosine": round(float(fused_stats[1]), 5),
+            }
+        except Exception as exc:  # a Mosaic lowering/VMEM failure must not
+            # kill the headline measurement (the ONE-JSON-line invariant);
+            # _vmem_working_set is an estimate, not the compiler's verdict
+            fused_detail["fused_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
         # fused + int8: in-kernel int8 pointwise matmuls (per-chunk
         # activation scales in VMEM) — the combination the per-layer v5e

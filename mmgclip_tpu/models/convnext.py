@@ -124,7 +124,12 @@ class ConvNeXtStage(nn.Module):
                 out = kernel_fn(
                     x,
                     p["dwconv_kernel"].astype(dtype), p["dwconv_bias"].astype(dtype),
-                    p["norm_scale"].astype(dtype), p["norm_bias"].astype(dtype),
+                    # LN affine params stay full-precision: the unfused path
+                    # applies them inside the fp32 _layer_norm (line ~148),
+                    # so casting here would make the off-TPU lax fallback
+                    # differ from the unfused tower by bf16 rounding —
+                    # breaking the knob's byte-parity contract
+                    p["norm_scale"], p["norm_bias"],
                     p["pwconv1_kernel"].astype(dtype), p["pwconv1_bias"].astype(dtype),
                     p["pwconv2_kernel"].astype(dtype), p["pwconv2_bias"].astype(dtype),
                     p["gamma"].astype(dtype),

@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import tempfile
 
 _SEED = 7
 _ROWS_PER_DEV = 4
@@ -186,35 +187,59 @@ def run_multihost_dryrun(n_processes: int = 2, n_devices: int = 8,
             "from mmgclip_tpu.parallel.multihost import _worker\n"
             f"_worker({n_processes}, {pid}, 'localhost:{port}')\n"
         )
-        procs.append(
+        # file-backed stdout (not PIPE): workers can emit large XLA/AOT
+        # warning floods, and an unread pipe would block them mid-write,
+        # deadlocking a poll()-based reap loop
+        log = tempfile.TemporaryFile(mode="w+", encoding="utf-8", errors="replace")
+        procs.append((
             subprocess.Popen(
                 [sys.executable, "-c", code], env=env, cwd=repo,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            )
-        )
-    outputs, errs = [], []
+                stdout=log, stderr=subprocess.STDOUT, text=True,
+            ),
+            log,
+        ))
+    errs = []
+
+    def _read(log):
+        log.flush()
+        log.seek(0)
+        return log.read()
+
     try:
-        for pid, proc in enumerate(procs):
-            try:
-                out, _ = proc.communicate(timeout=timeout)
-            except subprocess.TimeoutExpired:
-                proc.kill()
-                out, _ = proc.communicate()
-                raise RuntimeError(f"multihost worker {pid} timed out:\n{out[-2000:]}")
-            outputs.append(out)
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"multihost worker {pid} failed rc={proc.returncode}:\n{out[-2000:]}"
-                )
-            for line in out.splitlines():
-                if "mh_err=" in line:
-                    errs.append(float(line.rsplit("mh_err=", 1)[1].split()[0]))
+        # reap workers in COMPLETION order, not index order: a worker that
+        # dies at spawn (import error, port race) must surface immediately —
+        # waiting on worker 0 first would stall the full distributed-init
+        # timeout while the actual error sits in a sibling's exit status
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        pending = dict(enumerate(procs))
+        while pending:
+            finished = [pid for pid, (p, _log) in pending.items() if p.poll() is not None]
+            for pid in finished:
+                proc, log = pending.pop(pid)
+                out = _read(log)
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"multihost worker {pid} failed rc={proc.returncode}:\n{out[-2000:]}"
+                    )
+                for line in out.splitlines():
+                    if "mh_err=" in line:
+                        errs.append(float(line.rsplit("mh_err=", 1)[1].split()[0]))
+            if not pending:
+                break
+            if _time.monotonic() > deadline:
+                stuck = sorted(pending)
+                raise RuntimeError(f"multihost workers {stuck} timed out after {timeout}s")
+            _time.sleep(0.2)
     finally:
         # one worker failing must not orphan the rest (they would hold the
         # coordinator port and spin until their own timeout)
-        for proc in procs:
+        for proc, log in procs:
             if proc.poll() is None:
                 proc.kill()
+                proc.wait()
+            log.close()
     if len(errs) != n_processes:
         raise RuntimeError(f"expected {n_processes} worker reports, got {len(errs)}")
     return max(errs)

@@ -200,6 +200,29 @@ def test_convnext_model_fused_matches_unfused(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_fused_fallback_bytematches_unfused_in_bf16():
+    """Off-TPU the fused knob takes the lax fallback, which must be
+    BYTE-identical to the unfused tower — including in bf16, where casting
+    the LN affine params would introduce rounding the unfused path (fp32
+    _layer_norm) doesn't have."""
+    from dataclasses import replace
+
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(32, 64, 128, 256),
+                         in_channels=1, layer_scale_init=0.1,
+                         dtype=jnp.bfloat16)
+    module, params = init_convnext(cfg, seed=0, image_size=32)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)), jnp.float32)
+    ref = np.asarray(module.apply(params, x).astype(jnp.float32))
+    # no FORCE_INTERPRET: non-TPU backend -> the lax fallback path
+    out = np.asarray(
+        ConvNeXt(replace(cfg, use_fused_blocks=True)).apply(params, x)
+        .astype(jnp.float32))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_convnext_fused_bucketed_mask_stays_exact(monkeypatch):
     """Bucketed encode (valid_hw canvas padding) with fused blocks: the
     pad-region re-zeroing happens outside the kernel and must keep canvas

@@ -157,8 +157,24 @@ def main(argv=None) -> str:
     import shutil
 
     run = os.path.abspath(args.out)
-    shutil.rmtree(run, ignore_errors=True)
+    marker = os.path.join(run, ".mmgclip_reproduce_run")
+    if os.path.exists(run):
+        # only clear a directory THIS tool created (marker file) or an empty
+        # one — never an arbitrary user path (`--out .` must not delete cwd)
+        if os.path.isfile(marker):
+            shutil.rmtree(run)
+        elif os.path.isdir(run) and not os.listdir(run):
+            pass
+        else:
+            raise SystemExit(
+                f"refusing to clear --out {run}: it exists, is non-empty, and "
+                "was not created by tools/reproduce.py (no "
+                ".mmgclip_reproduce_run marker). Pick a fresh directory or "
+                "delete it yourself."
+            )
     os.makedirs(run, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("created by tools/reproduce.py; safe to delete\n")
     hf_config = None
 
     if args.fixtures:
