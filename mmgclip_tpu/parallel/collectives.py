@@ -113,12 +113,15 @@ def _ring_all_gather_kernel(local_ref, out_ref, send_sems, recv_sems, *, num_dev
 # (Pallas requires concurrent collectives to carry different ids), while an
 # id that changes on every retrace would make identical programs lower
 # differently and defeat XLA's compilation cache.  Each site (caller
-# file:line + shape/dtype/axis) owns a block of _SLOTS_PER_SITE ids; calls
-# from the same site within the SAME trace (one compiled program — e.g. a
-# list comprehension of gathers) get consecutive slots, while a NEW trace
-# resets the site to slot 0, so retraces of an identical program lower
-# identically and keep hitting the cache.  The trace is identified by a
-# weakref to the operand tracer's trace object; eager operands (no trace)
+# file:line + axis — NOT shape/dtype: ids only need to be distinct among
+# collectives concurrent in ONE program, and keying on shape would leak an
+# id per distinct batch size until the 63-id space spuriously exhausts)
+# owns a block of _SLOTS_PER_SITE ids; calls from the same site within the
+# SAME trace (one compiled program — e.g. a list comprehension of gathers,
+# or a loop over differently-shaped shards) get consecutive slots, while a
+# NEW trace resets the site to slot 0, so retraces of an identical program
+# lower identically and keep hitting the cache.  The trace is identified by
+# a weakref to the operand tracer's trace object; eager operands (no trace)
 # always use slot 0 — eager pallas_calls execute sequentially, so id reuse
 # is safe there.
 _SLOTS_PER_SITE = 4
@@ -129,8 +132,9 @@ _collective_site_trace: dict = {}  # key -> (weakref-to-trace, next_slot)
 def _site_collective_id(x, shape, dtype, axis_name) -> int:
     import weakref
 
+    del shape, dtype  # distinctness is per concurrent program, not per shape
     frame = sys._getframe(2)  # caller of ring_all_gather
-    key = (frame.f_code.co_filename, frame.f_lineno, tuple(shape), str(dtype), axis_name)
+    key = (frame.f_code.co_filename, frame.f_lineno, axis_name)
     if key not in _collective_site_base:
         if (len(_collective_site_base) + 1) * _SLOTS_PER_SITE > 63:
             raise RuntimeError(
@@ -153,10 +157,28 @@ def _site_collective_id(x, shape, dtype, axis_name) -> int:
             )
     try:
         ref = weakref.ref(trace_obj)
-    except TypeError:  # trace type without weakref support: be conservative
-        ref = lambda: None  # noqa: E731 - next call resets to slot 0
+    except TypeError:
+        # a trace type without weakref support would make slot tracking
+        # reset every call — two concurrent gathers from one site would then
+        # SHARE an id (shared barrier/semaphore state: deadlock hazard).
+        # That direction is unsafe; demand an explicit id instead.
+        raise RuntimeError(
+            "ring_all_gather: this JAX version's trace objects don't support "
+            "weakref, so per-program slot tracking can't tell concurrent "
+            "gathers apart — pass explicit collective_id values"
+        ) from None
     _collective_site_trace[key] = (ref, slot + 1)
     return _collective_site_base[key] + slot
+
+
+def _ring_tileable(x) -> bool:
+    """Shard [chunk, d] maps onto VMEM tiles: the sublane tile is
+    dtype-dependent — (8,128) f32, (16,128) bf16, (32,128) int8 — and both
+    the shard and the dynamic chunk offsets inside the kernel must land on
+    tile boundaries."""
+    chunk, d = x.shape
+    sublane = 8 * (4 // max(1, x.dtype.itemsize))
+    return not (chunk % sublane or d % 128)
 
 
 def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, collective_id=None):
@@ -164,11 +186,11 @@ def ring_all_gather(x, axis_name: str = DATA_AXIS, *, interpret: bool = False, c
 
     x: local shard [chunk, d] inside a shard_map over `axis_name`.
     Returns [chunk * n_devices, d].  Falls back to XLA's all_gather when the
-    shard shape can't tile onto (8, 128) lanes.
+    shard shape can't tile onto the dtype's VMEM tile (see _ring_tileable).
     """
     num_devices = jax.lax.axis_size(axis_name)
     chunk, d = x.shape
-    if chunk % 8 or d % 128:
+    if not _ring_tileable(x):
         return jax.lax.all_gather(x, axis_name, tiled=True)
 
     if collective_id is None:
@@ -205,8 +227,7 @@ def ring_all_gather_diff(x, axis_name: str = DATA_AXIS, *, interpret: bool = Fal
     # ids mean shared barrier/semaphore state between concurrent rings).
     # Keying on THIS function's caller distinguishes the call sites.
     if collective_id is None:
-        chunk, d = x.shape
-        if not (chunk % 8 or d % 128):  # else ring_all_gather falls back to XLA
+        if _ring_tileable(x):  # else ring_all_gather falls back to XLA
             collective_id = _site_collective_id(x, x.shape, x.dtype, axis_name)
 
     @jax.custom_vjp

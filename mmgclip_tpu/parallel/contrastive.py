@@ -81,14 +81,33 @@ def global_mmgclip_loss(
     logit_scale,
     t2t_weight: float = 0.5,
     axis_name=DATA_AXIS,
+    use_ring_gather: bool = False,
 ):
-    """Global-batch MMGCLIPLoss: CLIP term + text-to-text impression term."""
-    clip_term, labels = global_clip_loss(image_embeddings, text_embeddings, logit_scale, axis_name)
+    """Global-batch MMGCLIPLoss: CLIP term + text-to-text impression term.
 
-    # reuse the CLIP term's labels; the text gather below is textually a
-    # repeat of the one inside global_clip_loss but XLA CSE emits it once
-    all_text = jax.lax.all_gather(text_embeddings, axis_name, tiled=True)
-    all_text2 = jax.lax.all_gather(text_embeddings2, axis_name, tiled=True)
+    ``use_ring_gather`` routes ALL four embedding gathers (CLIP term + t2t
+    term) through the Pallas RDMA ring, same contract as global_clip_loss —
+    without the passthrough the flag would silently apply to the CLIP half
+    only."""
+    clip_term, labels = global_clip_loss(
+        image_embeddings, text_embeddings, logit_scale, axis_name,
+        use_ring_gather=use_ring_gather)
+
+    if use_ring_gather and not isinstance(axis_name, (tuple, list)):
+        from .collectives import ring_all_gather_diff
+
+        interpret = jax.default_backend() != "tpu"
+        # a distinct call site from global_clip_loss's text gather: ring
+        # collectives concurrent in one program need distinct ids, and ids
+        # are resolved per call site (CSE cannot merge two pallas_calls with
+        # different ids — this gather is intentionally its own collective)
+        all_text = ring_all_gather_diff(text_embeddings, axis_name, interpret=interpret)
+        all_text2 = ring_all_gather_diff(text_embeddings2, axis_name, interpret=interpret)
+    else:
+        # reuse the CLIP term's labels; the text gather below is textually a
+        # repeat of the one inside global_clip_loss but XLA CSE emits it once
+        all_text = jax.lax.all_gather(text_embeddings, axis_name, tiled=True)
+        all_text2 = jax.lax.all_gather(text_embeddings2, axis_name, tiled=True)
     logits_t2t1 = logit_scale * text_embeddings2 @ all_text.T
     logits_t1t2 = logit_scale * text_embeddings @ all_text2.T
     t2t = (_cross_entropy(logits_t2t1, labels) + _cross_entropy(logits_t1t2, labels)) / 2.0

@@ -168,36 +168,6 @@ def run_multihost_dryrun(n_processes: int = 2, n_devices: int = 8,
         port = _free_port()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     procs = []
-    for pid in range(n_processes):
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        flags = " ".join(
-            p for p in env.get("XLA_FLAGS", "").split()
-            if "xla_force_host_platform_device_count" not in p
-        )
-        env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={local}").strip()
-        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-        # the distributed runtime is incompatible with a shared persistent
-        # cache dir being written concurrently; keep workers cache-free
-        env.pop("JAX_CACHE_DIR", None)
-        code = (
-            # the axon TPU plugin ignores the JAX_PLATFORMS env var; force
-            # the CPU platform through the config before any backend init
-            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
-            "from mmgclip_tpu.parallel.multihost import _worker\n"
-            f"_worker({n_processes}, {pid}, 'localhost:{port}')\n"
-        )
-        # file-backed stdout (not PIPE): workers can emit large XLA/AOT
-        # warning floods, and an unread pipe would block them mid-write,
-        # deadlocking a poll()-based reap loop
-        log = tempfile.TemporaryFile(mode="w+", encoding="utf-8", errors="replace")
-        procs.append((
-            subprocess.Popen(
-                [sys.executable, "-c", code], env=env, cwd=repo,
-                stdout=log, stderr=subprocess.STDOUT, text=True,
-            ),
-            log,
-        ))
     errs = []
 
     def _read(log):
@@ -205,7 +175,40 @@ def run_multihost_dryrun(n_processes: int = 2, n_devices: int = 8,
         log.seek(0)
         return log.read()
 
+    # the spawn loop lives INSIDE the try: a Popen/TemporaryFile failure at
+    # worker k must reach the finally and kill workers 0..k-1, or they hold
+    # the coordinator port until their own distributed-init timeout
     try:
+        for pid in range(n_processes):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            flags = " ".join(
+                p for p in env.get("XLA_FLAGS", "").split()
+                if "xla_force_host_platform_device_count" not in p
+            )
+            env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={local}").strip()
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+            # the distributed runtime is incompatible with a shared persistent
+            # cache dir being written concurrently; keep workers cache-free
+            env.pop("JAX_CACHE_DIR", None)
+            code = (
+                # the axon TPU plugin ignores the JAX_PLATFORMS env var; force
+                # the CPU platform through the config before any backend init
+                "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+                "from mmgclip_tpu.parallel.multihost import _worker\n"
+                f"_worker({n_processes}, {pid}, 'localhost:{port}')\n"
+            )
+            # file-backed stdout (not PIPE): workers can emit large XLA/AOT
+            # warning floods, and an unread pipe would block them mid-write,
+            # deadlocking a poll()-based reap loop
+            log = tempfile.TemporaryFile(mode="w+", encoding="utf-8", errors="replace")
+            procs.append((
+                subprocess.Popen(
+                    [sys.executable, "-c", code], env=env, cwd=repo,
+                    stdout=log, stderr=subprocess.STDOUT, text=True,
+                ),
+                log,
+            ))
         # reap workers in COMPLETION order, not index order: a worker that
         # dies at spawn (import error, port race) must surface immediately —
         # waiting on worker 0 first would stall the full distributed-init

@@ -102,13 +102,11 @@ def handle_group(engine: InferenceEngine, requests: list) -> list:
         arrays.append(arr[None, :] if arr.ndim == 1 else arr)
     counts = [arr.shape[0] for arr in arrays]
     merged = np.concatenate(arrays, axis=0)
-    # pad the merged batch to the next power of two: the row count is
-    # load-dependent and the cascade path is jitted — without bucketing,
-    # every new size would trigger an XLA recompile on the hot path
-    total = merged.shape[0]
-    bucket = 1 << max(total - 1, 0).bit_length()
-    if bucket > total:
-        merged = np.concatenate([merged, np.repeat(merged[-1:], bucket - total, axis=0)])
+    # no padding here: the engine buckets row counts to powers of two
+    # internally (InferenceEngine._bucket_rows) and slices back to the real
+    # n — pre-padding would make it treat pad rows as real work (the report
+    # path would assemble and discard up to bucket-total phantom reports
+    # host-side per merged batch)
     op = requests[0]["op"]
     results = []
     start = 0
@@ -210,44 +208,57 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
     dispatcher_task = asyncio.ensure_future(dispatcher())
 
     async def client(reader, writer):
-        while True:
-            rid = None
-            desynced = False
-            try:
+        try:
+            while True:
+                rid = None
+                desynced = False
                 try:
-                    line = await reader.readline()
-                except (ValueError, asyncio.LimitOverrunError) as exc:
-                    # over-limit line: the reader buffer still holds the
-                    # partial line, so further reads would parse its
-                    # remainder as garbage requests — respond, then close
-                    desynced = True
-                    raise RuntimeError(f"line too long: {exc}") from exc
-                if not line:
+                    try:
+                        line = await reader.readline()
+                    except (ValueError, asyncio.LimitOverrunError) as exc:
+                        # over-limit line: the reader buffer still holds the
+                        # partial line, so further reads would parse its
+                        # remainder as garbage requests — respond, then close
+                        desynced = True
+                        raise RuntimeError(f"line too long: {exc}") from exc
+                    if not line:
+                        break
+                    line = line.strip()
+                    if not line:
+                        continue
+                    request = json.loads(line)
+                    rid = request.get("id")
+                    if shutdown_event.is_set():
+                        # the dispatcher is gone: a request enqueued now would
+                        # never resolve (its bytes were already in the read
+                        # buffer when shutdown began)
+                        raise ConnectionError("server shutting down")
+                    fut = loop.create_future()
+                    await queue.put((request, fut))
+                    result = await fut
+                    out = {"id": rid, "result": result}
+                except (asyncio.IncompleteReadError, ConnectionResetError):
                     break
-                line = line.strip()
-                if not line:
-                    continue
-                request = json.loads(line)
-                rid = request.get("id")
-                if shutdown_event.is_set():
-                    # the dispatcher is gone: a request enqueued now would
-                    # never resolve (its bytes were already in the read
-                    # buffer when shutdown began)
-                    raise ConnectionError("server shutting down")
-                fut = loop.create_future()
-                await queue.put((request, fut))
-                result = await fut
-                out = {"id": rid, "result": result}
-            except (asyncio.IncompleteReadError, ConnectionResetError):
-                break
-            except Exception as exc:  # noqa: BLE001 - protocol boundary
-                out = {"id": rid, "error": str(exc)}
-            writer.write((json.dumps(out) + "\n").encode())
-            await writer.drain()
-            if desynced:
-                break
-        writer.close()
-        await writer.wait_closed()
+                except Exception as exc:  # noqa: BLE001 - protocol boundary
+                    out = {"id": rid, "error": str(exc)}
+                try:
+                    writer.write((json.dumps(out) + "\n").encode())
+                    await writer.drain()
+                except (ConnectionResetError, BrokenPipeError, ConnectionError):
+                    # client vanished mid-response: nothing to tell it, just
+                    # stop serving this connection (cleanup in finally)
+                    break
+                if desynced:
+                    break
+        finally:
+            # always release the transport — an unexpected exception above
+            # must not leak the writer (asyncio would log 'Task exception
+            # was never retrieved' and hold the socket open)
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except (ConnectionResetError, BrokenPipeError, ConnectionError):
+                pass
 
     # inline-features requests are legitimately large (768 floats/image as
     # JSON); asyncio's default 64 KiB readline limit would kill them — the

@@ -207,6 +207,39 @@ def test_ring_all_gather_lowers_on_real_tpu():
     fn.lower(x).compile()  # Mosaic rejects barrier-less collective_id here
 
 
+def test_ring_gather_ids_distinct_in_mmgclip_trace():
+    """global_mmgclip_loss(use_ring_gather=True) routes ALL FOUR gathers
+    (CLIP image/text + t2t text/text2) through the ring, each with its own
+    collective id — without the passthrough the flag silently applied to
+    the CLIP half only (review r4), and id collisions between concurrent
+    rings are the advisor-r3 deadlock hazard."""
+    from jax.sharding import Mesh
+
+    from mmgclip_tpu.parallel.contrastive import global_mmgclip_loss
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(1)
+    mk = lambda: jnp.asarray(rng.normal(size=(8 * n_dev, 128)), jnp.float32)  # noqa: E731
+    img, txt, txt2 = mk(), mk(), mk()
+    scale = jnp.float32(14.0)
+
+    def fn(i, t, t2):
+        return jax.shard_map(
+            lambda a, b, c: global_mmgclip_loss(a, b, c, scale, axis_name="data",
+                                                use_ring_gather=True)[0],
+            mesh=mesh, in_specs=(P("data"),) * 3, out_specs=P(),
+            check_vma=False,
+        )(i, t, t2)
+
+    jaxpr = jax.make_jaxpr(jax.grad(fn))(img, txt, txt2)
+    params = []
+    _collect_pallas_compiler_params(jaxpr.jaxpr, params)
+    ids = [cp["mosaic_tpu"].collective_id for cp in params if cp is not None]
+    assert len(ids) == 4, f"expected 4 ring gathers in the trace, found {len(ids)}"
+    assert len(set(ids)) == 4, f"concurrent rings share collective ids: {ids}"
+
+
 def test_ring_gather_contrastive_loss_and_grads_match_xla():
     """global_clip_loss(use_ring_gather=True): the differentiable Pallas
     ring gather produces the same loss AND gradients as the XLA all_gather
