@@ -125,17 +125,22 @@ class _Encoder:
         self.module, self.params, self.cn_config = load_convnext_tower(config)
         self._jitted: Dict = {}
 
-        n_devices = len(jax.devices())
+        # LOCAL devices only: each process feeds host-local pixel batches
+        # (files already sharded per host by shard_items_for_host), and a
+        # mesh spanning other hosts' non-addressable chips would make
+        # device_put raise — the per-host pattern parallel/multihost.py uses
+        n_devices = len(jax.local_devices())
         self._mesh = None
         if n_devices > 1:
             from ..parallel.mesh import batch_sharding, create_mesh
 
-            self._mesh = create_mesh(data=n_devices, model=1)
+            self._mesh = create_mesh(data=n_devices, model=1,
+                                     devices=jax.local_devices())
             self._sharding = batch_sharding(self._mesh)
             # round batches up so they split evenly over the data axis
             self.batch_size = max(self.batch_size, n_devices)
             self.batch_size -= self.batch_size % n_devices
-            logger.info(f"Encode pipeline sharded over {n_devices} devices.")
+            logger.info(f"Encode pipeline sharded over {n_devices} local devices.")
 
     def _encode_fn(self):
         module, params, in_ch = self.module, self.params, self.cn_config.in_channels
@@ -163,18 +168,16 @@ class _Encoder:
         valid_hw: [n, 2] valid (H, W) per image."""
         module, params, in_ch = self.module, self.params, self.cn_config.in_channels
 
+        from ..models.convnext import _valid_mask
+
         @jax.jit
         def encode(pixels_u8, valid_hw):
             x = intensity_transform(pixels_u8)[..., None]
             # zero the pad region AFTER the transform: raw uint8 zeros map to
-            # -1.0 (a strong signal); the exact-shape run has no pixels there
-            n, height, width = pixels_u8.shape[:3]
-            rows_px = jax.lax.broadcasted_iota(jnp.int32, (n, height, width), 1)
-            cols_px = jax.lax.broadcasted_iota(jnp.int32, (n, height, width), 2)
-            pixel_valid = (rows_px < valid_hw[:, 0, None, None]) & (
-                cols_px < valid_hw[:, 1, None, None]
-            )
-            x = x * pixel_valid.astype(x.dtype)[..., None]
+            # -1.0 (a strong signal); the exact-shape run has no pixels there.
+            # Same masking convention as the tower's valid_hw path — shared
+            # on purpose so the pre-mask can't drift from the in-tower one
+            x = x * _valid_mask(x, valid_hw)
             if in_ch > 1:
                 x = jnp.repeat(x, in_ch, axis=-1)
             return module.apply(params, x, valid_hw=valid_hw)
@@ -320,6 +323,12 @@ class ImageFeatureExtractor(_Encoder):
         tail = image_path.split("2D_100micron/")[-1]
         if os.path.isabs(tail):  # no marker in path: mirror last 4 components
             tail = os.path.join(*image_path.strip(os.sep).split(os.sep)[-4:])
+        # whole-path replace (not just the extension) is DELIBERATE parity
+        # with the reference's export convention
+        # (reference: mmgclip/networks/image_features.py:108 does
+        # .replace('.png', '.pth') on the full path) — a directory name
+        # containing '.png' mangles identically on both sides, keeping
+        # stored layouts interchangeable
         return os.path.join(self.export_dir, tail).replace(".png", ".npy")
 
     def extract(self) -> int:

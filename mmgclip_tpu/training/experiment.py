@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -53,6 +52,28 @@ def _base_dataset(split):
     while hasattr(node, "dataset"):
         node = node.dataset
     return node
+
+
+def _epoch_order(n: int, bs: int, drop_last: bool, rng) -> np.ndarray:
+    """Shuffled sample order for the fused epoch, length a multiple of bs.
+
+    The jitted epoch scan needs static batch shapes, so a partial tail batch
+    can't run as-is.  With the loader contract drop_last=False (the default,
+    matching the per-batch loop and the reference's torch DataLoader), the
+    tail is COMPLETED by wrapping around the permutation instead of being
+    dropped — every sample trains each epoch, at the cost of <= bs-1 random
+    duplicates (across different batches when n >= bs, so in-batch
+    contrastive labels stay unambiguous).  drop_last=True keeps the drop."""
+    order = rng.permutation(n)
+    rem = n % bs
+    if rem and not drop_last:
+        if n >= bs:
+            order = np.concatenate([order, order[: bs - rem]])
+        else:  # tiny dataset: tile to one full batch (duplicates unavoidable)
+            order = np.resize(order, bs)
+    elif rem:
+        order = order[: n - rem]
+    return order
 
 
 @EXPERIMENTS.register("classification")
@@ -203,11 +224,21 @@ class ClassifierExperiment:
         if train_dataloader is not None:
             base = _base_dataset(train_dataloader.dataset)
             self._text_bank = self._pool_tokens(base._tokens)
-            if getattr(base, "_impression_tokens", None) is not None and self.loss_name == "MMGCLIPLoss":
+            if self.loss_name == "MMGCLIPLoss":
+                if getattr(base, "_impression_tokens", None) is None:
+                    # fail HERE with an actionable message — otherwise the
+                    # T2T term's missing text_embeddings2 surfaces as an
+                    # opaque TypeError inside the jitted first train step
+                    raise ValueError(
+                        "loss=MMGCLIPLoss needs a dataset with impression "
+                        f"texts (its T2T term), but {type(base).__name__} "
+                        "provides none — use the exam-reports dataset family "
+                        "or switch to loss=CLIPLoss/AveragedMedicalCLIPLoss"
+                    )
                 self._impression_bank = self._pool_tokens(base._impression_tokens)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
-        self._val_step = jax.jit(partial(self._val_step_impl))
+        self._val_step = jax.jit(self._val_step_impl)
 
         # fused-epoch fast path: with frozen towers, the feature/text banks
         # are tiny and HBM-resident, so a whole epoch runs as ONE jitted
@@ -405,11 +436,12 @@ class ClassifierExperiment:
             self._build_fused_epoch()
         n = len(self._train_indices)
         bs = self.train_dataloader.batch_size
-        order = np.random.default_rng((int(self.config.base.seed), self.current_epoch)).permutation(n)
-        steps = n // bs
+        rng = np.random.default_rng((int(self.config.base.seed), self.current_epoch))
+        order = _epoch_order(n, bs, bool(getattr(self.train_dataloader, "drop_last", False)), rng)
+        steps = len(order) // bs
         if steps == 0:
             return float("nan")
-        batch_idx = jnp.asarray(order[: steps * bs].reshape(steps, bs))
+        batch_idx = jnp.asarray(order.reshape(steps, bs))
         self.params, self.opt_state, self.rng_key, mean_loss = self._epoch_fn(
             self.params, self.opt_state, self._feats_bank,
             self._text_train_bank, self._text2_train_bank, batch_idx, self.rng_key,
@@ -425,7 +457,12 @@ class ClassifierExperiment:
         with maybe_trace(profile, self.config.base.tensorboard_export_dir):
             if self._fused and self.train_dataloader.sampler is None:
                 epoch_loss = self._fused_epoch()
-                n_samples = (len(self._train_indices) // self.train_dataloader.batch_size) * self.train_dataloader.batch_size
+                n = len(self._train_indices)
+                bs = self.train_dataloader.batch_size
+                if getattr(self.train_dataloader, "drop_last", False):
+                    n_samples = (n // bs) * bs
+                else:  # wrap-around tail completion (see _epoch_order)
+                    n_samples = -(-n // bs) * bs if n else 0
             else:
                 losses = []
                 for batch in self.train_dataloader:
@@ -570,6 +607,19 @@ class ClassifierExperiment:
             params=self.params,
         ).evaluate_experiment()
 
+    def _scheduler_state(self) -> dict:
+        """Plateau-controller state for the checkpoint: without it, resume()
+        would rebuild a fresh ReduceLROnPlateau whose first post-resume
+        step() stomps the restored decayed lr back to base_lr (and loses the
+        best/patience history).  Cosine schedules are stateless in epoch."""
+        if hasattr(self.scheduler, "step"):
+            return {"scheduler": {
+                "lr": self.scheduler.lr,
+                "best": self.scheduler.best,
+                "counter": self.scheduler.counter,
+            }}
+        return {}
+
     def resume(self) -> bool:
         """Restore a full train state if a checkpoint exists (new capability;
         the reference saved optimizer state but never reloaded it)."""
@@ -605,6 +655,11 @@ class ClassifierExperiment:
         self.early_stopper.val_loss_min = state["val_loss"]
         if "rng_key" in state:
             self.rng_key = state["rng_key"]
+        sched = (state.get("extra") or {}).get("scheduler")
+        if sched and hasattr(self.scheduler, "step"):
+            self.scheduler.lr = sched["lr"]
+            self.scheduler.best = sched["best"]
+            self.scheduler.counter = sched["counter"]
         return True
 
     def run(self):
@@ -637,6 +692,7 @@ class ClassifierExperiment:
                 opt_state=self.opt_state,
                 path=self.ckp_path,
                 rng_key=self.rng_key,
+                extra=self._scheduler_state(),
             )
             logger.info(
                 f"Epoch: {self.current_epoch + 1}/{total_epochs} | {elapsed:.1f}s | lr: {lr:.6f} | "

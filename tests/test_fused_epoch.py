@@ -52,3 +52,27 @@ def test_fused_epoch_with_percentage_subset(tmp_path):
     loss = exp._fused_epoch()
     assert np.isfinite(loss)
     assert len(exp._train_indices) == len(smaller.dataset)
+
+
+def test_epoch_order_tail_handling():
+    """_epoch_order (review r4): with drop_last=False the tail batch is
+    completed by wrap-around so every sample trains each epoch; with
+    drop_last=True the tail drops; no in-batch duplicates when n >= bs."""
+    import numpy as np
+
+    from mmgclip_tpu.training.experiment import _epoch_order
+
+    rng = np.random.default_rng(0)
+    # tail completed: every index present, length a multiple of bs
+    order = _epoch_order(10, 4, False, rng)
+    assert len(order) == 12 and set(order) == set(range(10))
+    for s in range(0, 12, 4):  # no duplicate inside any single batch
+        batch = order[s : s + 4]
+        assert len(set(batch.tolist())) == len(batch)
+    # exact multiple: untouched
+    assert len(_epoch_order(8, 4, False, rng)) == 8
+    # drop_last: tail dropped
+    assert len(_epoch_order(10, 4, True, rng)) == 8
+    # tiny dataset (n < bs): tiled up to one full batch
+    order = _epoch_order(3, 8, False, rng)
+    assert len(order) == 8 and set(order) == set(range(3))

@@ -31,7 +31,7 @@ TINY_TEXT = {
 }
 
 
-def _experiment(tmp_path, epochs=2, batch_size=4, zero_sharding=False):
+def _experiment(tmp_path, epochs=2, batch_size=4, zero_sharding=False, loss_name=None):
     base, annotated, lists_dir, features_dir = build_image_label_tree(str(tmp_path), n_benign=8, n_malignant=8)
     cfg = compose(CONFIG_DIR, "train_binary_class_clf", run_dir=str(tmp_path / "run"))
     if zero_sharding:
@@ -49,6 +49,8 @@ def _experiment(tmp_path, epochs=2, batch_size=4, zero_sharding=False):
     cfg.dataloader.train.batch_size = batch_size
     cfg.dataloader.valid.batch_size = batch_size
     cfg.dataset.eval.enum_classes = []  # skip Evaluator in run()
+    if loss_name:
+        cfg.loss.config.loss_name = loss_name
 
     ds = get_dataset(cfg.dataset.name)(config=cfg, data_folder="0/02")
     train_split, val_split = ds.random_split(ds, "train")
@@ -127,6 +129,42 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     # reference never implemented
     counts = [np.asarray(l) for l in jax.tree_util.tree_leaves(exp2.opt_state) if np.asarray(l).ndim == 0]
     assert any(c > 0 for c in counts)
+
+
+def test_resume_restores_plateau_scheduler_state(tmp_path):
+    """The checkpoint carries the ReduceLROnPlateau state (review r4): a
+    fresh controller after resume() would stomp the restored decayed lr
+    back to base_lr on its first step and lose the best/patience history."""
+    from mmgclip_tpu.training.checkpoint import save_checkpoint
+    from mmgclip_tpu.training.optim import ReduceLROnPlateau
+
+    exp, _cfg = _experiment(tmp_path, epochs=1)
+    exp.scheduler = ReduceLROnPlateau(base_lr=1e-3, patience=2)
+    exp.scheduler.lr, exp.scheduler.best, exp.scheduler.counter = 1e-5, 0.123, 1
+    extra = exp._scheduler_state()
+    assert extra["scheduler"] == {"lr": 1e-5, "best": 0.123, "counter": 1}
+    save_checkpoint(exp.ckp_path, exp.params, exp.opt_state,
+                    epoch=0, val_loss=0.5, best_score=-0.5, counter=0,
+                    rng_key=exp.rng_key, extra=extra)
+
+    exp2, _ = _experiment(tmp_path, epochs=1)
+    exp2.scheduler = ReduceLROnPlateau(base_lr=1e-3, patience=2)
+    assert exp2.resume()
+    assert exp2.scheduler.lr == 1e-5
+    assert exp2.scheduler.best == 0.123
+    assert exp2.scheduler.counter == 1
+    # a better metric keeps the restored (decayed) lr, not base_lr
+    assert exp2.scheduler.step(0.01) == 1e-5
+
+
+def test_mmgclip_loss_without_impressions_fails_fast(tmp_path):
+    """loss=MMGCLIPLoss on a dataset without impression texts must raise an
+    actionable config error at construction, not an opaque TypeError inside
+    the jitted first train step (review r4)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="impression"):
+        _experiment(tmp_path, epochs=1, loss_name="MMGCLIPLoss")
 
 
 def test_checkpoint_save_load_primitives(tmp_path):
