@@ -108,21 +108,47 @@ class Evaluator:
                 max_length=int(self.config.tokenizer.config.sequence_length),
             )
             tokens = {k: jnp.asarray(v) for k, v in raw.items()}
-        pooled = self.model.apply_text_tower(tokens)
-        emb = np.asarray(l2_normalize(self.model.project_text(self.params, pooled, train=False)))
+        if getattr(self, "_jit_text_encode", None) is None:
+            model, params = self.model, self.params
+
+            @jax.jit
+            def tencode(tokens):
+                pooled = model.apply_text_tower(tokens)
+                return l2_normalize(model.project_text(params, pooled, train=False))
+
+            self._jit_text_encode = tencode
+        emb = np.asarray(self._jit_text_encode(tokens))
         if not isinstance(texts, dict):
             self._prompt_cache[tuple(texts)] = emb
         return emb
 
+    def _image_encode_fn(self):
+        """Jitted image encode (tower + projection + normalize): compiled
+        once per batch shape instead of per-op eager dispatch — on the
+        1-core host, eager flax applies dominate wall-clock."""
+        if getattr(self, "_jit_image_encode", None) is None:
+            model, params = self.model, self.params
+
+            @jax.jit
+            def encode(feats):
+                out = model.apply_image_tower(params, feats)
+                return l2_normalize(model.project_image(params, out, train=False))
+
+            self._jit_image_encode = encode
+        return self._jit_image_encode
+
     def _encode_image_device(self, batch) -> jnp.ndarray:
-        feats = self.model.apply_image_tower(self.params, jnp.asarray(batch["image_features"], jnp.float32))
-        return l2_normalize(self.model.project_image(self.params, feats, train=False))
+        return self._image_encode_fn()(jnp.asarray(batch["image_features"], jnp.float32))
 
     def encode_image(self, batch) -> np.ndarray:
         return np.asarray(self._encode_image_device(batch))
 
     def _logit_scale(self) -> float:
-        return float(jnp.exp(self.params["logit_scale"]))
+        # cached: one exp + ONE scalar D2H fetch for the Evaluator's lifetime
+        # (params never change here; a fetch costs ~0.5s on the tunnel)
+        if getattr(self, "_logit_scale_cache", None) is None:
+            self._logit_scale_cache = float(jnp.exp(self.params["logit_scale"]))
+        return self._logit_scale_cache
 
     # ------------------------------------------------------------------
     def zeroshot_eval(self, image_embeddings, label_names, classes_dict, key, use_logits=True):
@@ -341,7 +367,12 @@ class Evaluator:
             if isinstance(obj, (list, tuple)):
                 return [scrub(v) for v in obj]
             if isinstance(obj, (np.floating, np.integer)):
-                return obj.item()
+                obj = obj.item()
+            if isinstance(obj, float) and not np.isfinite(obj):
+                # single-class AUROC rows are NaN; json.dump would emit a
+                # bare `NaN` token, which strict parsers (jq, JSON.parse)
+                # reject — null is the spec-compliant encoding
+                return None
             return obj
 
         with open(os.path.join(self.config.base.results_export_dir, "results.json"), "w") as fh:

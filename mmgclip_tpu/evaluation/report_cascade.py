@@ -72,7 +72,7 @@ assert max(len(v) for v in BANKS.values()) <= 8
 assert 3 * len(BANK_ORDER) <= 31
 
 
-def build_prompt_table(model, params, tokenizer) -> jnp.ndarray:
+def build_prompt_table(model, params, tokenizer) -> tuple:
     """Embed every bank once -> padded [n_banks, max_prompts, d] table and a
     validity mask [n_banks, max_prompts]."""
     max_prompts = max(len(v) for v in BANKS.values())
@@ -147,10 +147,13 @@ def decide(model, params, tokenizer, image_features) -> Dict[str, int]:
         feats = feats[None, :]
     flat = model.apply_image_tower(params, feats)
     emb = l2_normalize(model.project_image(params, flat, train=False))[0]
-    # strong reference + `is`: id() could be recycled by a new params dict
+    # strong references + `is`: id() could be recycled by new objects.
+    # The table depends on BOTH params and tokenizer (the docstring's own
+    # contract) — a params-only key would reuse token ids from a previous
+    # tokenizer silently
     cached = getattr(model, "_cascade_table_cache", None)
-    if cached is None or cached[0] is not params:
+    if cached is None or cached[0] is not params or cached[1] is not tokenizer:
         table, mask = build_prompt_table(model, params, tokenizer)
-        model._cascade_table_cache = (params, table, mask)
-    _, table, mask = model._cascade_table_cache
+        model._cascade_table_cache = (params, tokenizer, table, mask)
+    _, _, table, mask = model._cascade_table_cache
     return unpack_decisions(run_cascade(emb, table, mask))  # one scalar fetch

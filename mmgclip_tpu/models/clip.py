@@ -203,7 +203,17 @@ class MMGCLIP:
     # ------------------------------------------------------------------
     def apply_image_tower(self, params: Dict, image_features, train: bool = False):
         """Flatten stored features; ResNet path re-encodes them
-        (reference: mmgclip_model.py:76-93)."""
+        (reference: mmgclip_model.py:76-93).
+
+        DELIBERATE divergence (PARITY.md #8): BatchNorm runs in FROZEN mode
+        (running stats, never batch stats) even when `train=True` and layer4
+        fine-tunes.  The torch reference's train() mode uses batch statistics
+        and mutates running stats per step; mutable BN state inside a jitted
+        donated-buffer train step would force threading batch_stats through
+        every step signature for an ablation-only tower, and frozen-BN
+        fine-tuning is the standard practice for small-batch transfer
+        anyway.  `train` still gates dropout semantics for callers."""
+        del train  # BN deliberately frozen; see docstring
         flat = image_features.reshape(image_features.shape[0], -1)
         if self.image_module is not None:
             variables = {"params": params["image_encoder"], **{
@@ -353,14 +363,16 @@ class PromptClassifier:
         logit_scale = jnp.exp(self.params["logit_scale"])
         logits = logit_scale * image_embeddings @ text_embeddings.T
         sims = jax.nn.softmax(logits, axis=-1)
-        argmax_all = jnp.argmax(sims, axis=-1)
+        # ONE D2H fetch for the whole argmax vector: per-element int() would
+        # block on a separate ~0.5s transfer per image on the tunnel
+        argmax_host = np.asarray(jnp.argmax(sims, axis=-1)).tolist()
         return {
             "classes_similarities": sims,
             # first image only — the reference's contract
             # (reference: mmgclip_model.py:208 `argmax(...)[0].item()`);
             # batch callers read similarities_argmax_per_image
-            "similarities_argmax": int(argmax_all[0]),
-            "similarities_argmax_per_image": [int(v) for v in argmax_all],
+            "similarities_argmax": int(argmax_host[0]),
+            "similarities_argmax_per_image": [int(v) for v in argmax_host],
             "class_list": list(class_list),
         }
 

@@ -57,13 +57,15 @@ def load_run(path: str) -> Dict:
         if not isinstance(zs, dict):
             continue
         # binary tasks carry the bootstrap CI mean; multiclass the macro mean
+        # (the Evaluator writes non-finite values as JSON null — map to nan)
+        fnum = lambda v: float("nan") if v is None else float(v)  # noqa: E731
         auc = zs.get("auc_ci_mean", zs.get("mean_auc", float("nan")))
         metrics[key] = {
-            "auc": float(auc),
-            "accuracy": float(zs.get("accuracy", float("nan"))),
-            "f1score": float(zs.get("f1score", float("nan"))),
-            "auc_ci_lower": float(zs.get("auc_ci_lower", float("nan"))),
-            "auc_ci_higher": float(zs.get("auc_ci_higher", float("nan"))),
+            "auc": fnum(auc),
+            "accuracy": fnum(zs.get("accuracy", float("nan"))),
+            "f1score": fnum(zs.get("f1score", float("nan"))),
+            "auc_ci_lower": fnum(zs.get("auc_ci_lower", float("nan"))),
+            "auc_ci_higher": fnum(zs.get("auc_ci_higher", float("nan"))),
         }
         # one method's curves only — merging zeroshot and
         # zeroshot_label_prompt files would average cross-method curves.

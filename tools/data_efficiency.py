@@ -52,9 +52,12 @@ def run_sweep(config_name, fractions, out_dir, overrides):
         for enum_class, methods in results.items():
             for method, metrics in methods.items():
                 if isinstance(metrics, dict) and "mean_auc" in metrics:
+                    # non-finite values arrive as JSON null — map to nan
+                    auc = metrics["mean_auc"]
                     rows.append(
                         {"fraction": fraction, "enum_class": enum_class,
-                         "method": method, "mean_auc": metrics["mean_auc"]}
+                         "method": method,
+                         "mean_auc": float("nan") if auc is None else auc}
                     )
     return rows
 

@@ -60,13 +60,16 @@ REFERENCE_AUC = {
 def extract_mean_auc(label_prompt_results: dict) -> float:
     """Mean per-class AUC from a zeroshot_label_prompt result dict; for
     binary tasks uses the bootstrap mean when present."""
+    # the Evaluator writes non-finite values as JSON null — map to nan
+    fnum = lambda v: float("nan") if v is None else float(v)  # noqa: E731
     if "auc_ci_mean" in label_prompt_results:
-        return float(label_prompt_results["auc_ci_mean"])
+        return fnum(label_prompt_results["auc_ci_mean"])
     if "mean_auc" in label_prompt_results:
-        return float(label_prompt_results["mean_auc"])
+        return fnum(label_prompt_results["mean_auc"])
     aucs = [
         v["auc"] for v in label_prompt_results.values()
-        if isinstance(v, dict) and "auc" in v and v["auc"] == v["auc"]
+        if isinstance(v, dict) and isinstance(v.get("auc"), (int, float))
+        and v["auc"] == v["auc"]
     ]
     return sum(aucs) / len(aucs) if aucs else float("nan")
 
