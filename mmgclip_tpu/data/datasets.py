@@ -188,6 +188,16 @@ class StudyReportDataset:
             config.dataset.config.final_reports_dataset_path,
             encoding="unicode_escape", index_col=0, dtype=str,
         )
+        # empty report cells arrive as NaN (dtype=str does not rescue
+        # missing values): left alone, NaN poisons the gtr prompt concat
+        # (str + " " + NaN -> NaN) and then tokenizes as the literal text
+        # 'nan'.  The reference crashes outright on such rows
+        # (dataset.py:496 concatenates str + float) — empty-string is the
+        # robust superset and byte-identical on NaN-free data (all parity
+        # fixtures)
+        for col in ("image_description", "image_impression"):
+            if col in self.final_reports_dataset.columns:
+                self.final_reports_dataset[col] = self.final_reports_dataset[col].fillna("")
         logger.info(f"Total dataset length: {len(self.final_reports_dataset)}.")
 
         if config.dataset.config.gtr_prompt_generation:
@@ -213,6 +223,9 @@ class StudyReportDataset:
         self._features = np.stack(
             [np.asarray(load_features(p), np.float32) for p in df["study_path"]]
         ) if len(df) else np.zeros((0, 768), np.float32)
+        # parse once at construction (the module contract: "all text is
+        # generated AND tokenized once"), not per __getitem__ per epoch
+        self._prompt_labels = [self._prepare_prompt_labels(i) for i in range(len(df))]
 
     # ------------------------------------------------------------------
     def _generate_gtr_prompts(self) -> None:
@@ -224,15 +237,23 @@ class StudyReportDataset:
         gtr["full_study_id"] = gtr["gtr_path"].apply(lambda x: x.split("/")[-1][:10])
         df = self.final_reports_dataset
 
+        # one pass over gtr instead of a full scan per report row (the
+        # elementwise `in .values` + boolean-mask re-scan made construction
+        # quadratic); first occurrence wins, matching `.iloc[0]`
+        gtr_keys = set(gtr["full_study_id"])
+        gtr_first: Dict[str, pd.Series] = {}
+        for _, g_row in gtr.iterrows():
+            gtr_first.setdefault(g_row["full_study_id"], g_row)
+
         df["has_gtr_label"] = df.apply(
-            lambda x: f"{x['patient_id']}{x['study_id'][2:]}" in gtr["full_study_id"].values, axis=1
+            lambda x: f"{x['patient_id']}{x['study_id'][2:]}" in gtr_keys, axis=1
         )
 
         def build(row) -> str:
             prompts: List[str] = []
             if row.has_gtr_label:
                 labels = ast.literal_eval(row.labels)
-                sample = gtr[gtr["full_study_id"] == f"{row['patient_id']}{row['study_id'][2:]}"].iloc[0]
+                sample = gtr_first[f"{row['patient_id']}{row['study_id'][2:]}"]
                 birads = str(labels.get("birads", "unknown"))
 
                 if str(sample.gtr_mass) == "True":
@@ -310,10 +331,10 @@ class StudyReportDataset:
             "index": index,
             "image_features": self._features[index],
             "image_description": row["image_description"],
-            "image_impression": row.get("image_impression", ""),
+            "image_impression": row["image_impression"],
             "image_label": np.asarray([int(row["is_malig"])], np.int32),
             "image_id": row["patient_id"],
-            "prompt_labels": self._prepare_prompt_labels(index),
+            "prompt_labels": self._prompt_labels[index],
         }
 
     def collate_fn(self, instances: List[Dict]) -> Dict:

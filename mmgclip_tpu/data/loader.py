@@ -57,13 +57,18 @@ class DataLoader:
 
     def __iter__(self) -> Iterator:
         indices = self._indices()
+        # advance the epoch as soon as iteration STARTS (not on generator
+        # exhaustion): a caller that breaks early — step caps, islice — must
+        # not silently replay the identical shuffle order next epoch.  Full
+        # iterations see the same per-epoch orders as before (epoch k's
+        # permutation is still keyed (seed, k))
+        self._epoch += 1
         n = len(indices)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             chunk = indices[start : start + self.batch_size]
             items = [self.dataset[int(i)] for i in chunk]
             yield self.collate_fn(items) if self.collate_fn else items
-        self._epoch += 1
 
 
 class DataLoaders:

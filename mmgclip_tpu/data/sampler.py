@@ -25,7 +25,10 @@ class ImbalancedDatasetSampler:
         unique, counts = np.unique(labels, return_counts=True)
         order = np.argsort(-counts)  # most frequent first (value_counts order)
         self.class_indices = [np.where(labels == unique[i])[0] for i in order]
-        self.weights = 1.0 / counts[order]
+        # NOTE: no per-sample weights — unlike the reference's
+        # WeightedRandomSampler shape, sampling is uniform WITHIN each class
+        # pool and round-robin ACROSS classes, which is the same
+        # class-balanced marginal (reference: datasampler.py:52-56)
 
     def __iter__(self) -> Iterator[int]:
         # one draw per class up front (O(n) RNG work), then round-robin —

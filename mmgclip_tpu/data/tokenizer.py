@@ -463,6 +463,12 @@ class Tokenizer:
             if not online:
                 os.environ.setdefault("HF_HUB_OFFLINE", "1")
                 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+            else:
+                # an EARLIER offline call may have set these process-wide;
+                # huggingface_hub reads them per request, so online mode
+                # must actively remove them, not just skip the setdefault
+                os.environ.pop("HF_HUB_OFFLINE", None)
+                os.environ.pop("TRANSFORMERS_OFFLINE", None)
             local_only = not online
             if vocab_file and not os.path.isdir(name):
                 from transformers import BertTokenizer

@@ -102,22 +102,40 @@ class InferenceEngine:
         return out
 
     def encode_exam(self, exam_dir: str, method: Optional[str] = None, n_views: int = 4) -> np.ndarray:
-        views = sorted(os.listdir(exam_dir))[:n_views]
+        # PNG views only: exam dirs carry sidecars (.json annotations,
+        # thumbnails, .DS_Store) that would crash decode_png or displace
+        # real views from the first-n selection
+        views = sorted(v for v in os.listdir(exam_dir) if v.lower().endswith(".png"))[:n_views]
+        if not views:
+            raise FileNotFoundError(
+                f"no .png views in exam dir {exam_dir!r} — refusing to fuse "
+                "an empty view set (it would produce an all-NaN vector)"
+            )
         feats = self.encode_paths([os.path.join(exam_dir, v) for v in views])
         method = method or self.config.get_path("dataset.config.concatenate_features_method", "avgpool")
         fused = np.asarray(fuse_views(jnp.asarray(feats), method))
         return fused if fused.ndim == 2 else fused[None, :]
 
     # ------------------------------------------------------------------
+    # bound the prompt cache: the socket server forwards arbitrary client
+    # class_lists, and every distinct tuple would otherwise pin a
+    # device-resident embedding forever (unbounded HBM growth under
+    # varied or adversarial prompt traffic)
+    _PROMPT_CACHE_MAX = 128
+
     def _prompt_embeddings(self, prompts: Sequence[str]) -> jnp.ndarray:
         key = tuple(prompts)
-        if key not in self._prompt_cache:
+        cached = self._prompt_cache.pop(key, None)
+        if cached is None:
             tokens = self.tokenizer(list(prompts), max_length=self.tokenizer.sequence_length)
             tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
             pooled = self.model.apply_text_tower(tokens)
-            self._prompt_cache[key] = l2_normalize(
+            cached = l2_normalize(
                 self.model.project_text(self.params, pooled, train=False)
             )
+        self._prompt_cache[key] = cached  # re-insert: LRU order (dicts are ordered)
+        while len(self._prompt_cache) > self._PROMPT_CACHE_MAX:
+            self._prompt_cache.pop(next(iter(self._prompt_cache)))
         return self._prompt_cache[key]
 
     def _embed_impl(self, params, feats):
