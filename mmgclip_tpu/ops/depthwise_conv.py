@@ -74,8 +74,12 @@ def depthwise_conv7x7(x, w, b=None, interpret: bool = False):
     if b is None:
         b = jnp.zeros((c,), x.dtype)
 
-    # VMEM budget: padded input + output in fp32 accumulation
-    vmem_bytes = (h + 2 * HALO) * (width + 2 * HALO) * c * 4 * 2
+    # VMEM budget: padded input + the fp32 accumulator + the output block +
+    # one shifted-window temporary — the earlier padded-in/out-only estimate
+    # undercounted ~50% and let near-bound shapes reach Mosaic allocation
+    # failures instead of the lax fallback
+    vmem_bytes = ((h + 2 * HALO) * (width + 2 * HALO) * c * 4
+                  + 3 * h * width * c * 4)
     usable = (
         (interpret or jax.default_backend() == "tpu")
         and c % 128 == 0

@@ -16,6 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -105,19 +106,32 @@ def _flash_call(q, k, v, lengths, block_q, block_k, interpret):
 def flash_attention(q, k, v, mask=None, block_q: int = 128, block_k: int = 128, interpret: bool = False):
     """Fused attention. q,k,v: [b, h, s, d]; mask: [b, s] (1 = valid key).
 
-    The mask must be a contiguous valid prefix per row (standard right-padding);
-    shapes the kernel cannot tile fall back to :func:`attention_reference`.
+    CONTRACT: the mask must be a contiguous valid PREFIX per row (standard
+    right-padding — what every tokenizer in this repo emits).  The kernel
+    reduces it to per-row lengths, so a non-contiguous mask (token dropout,
+    sparse attention) would be silently reinterpreted as "first sum(mask)
+    keys valid"; concrete masks are checked here and routed to the exact
+    XLA path instead, traced masks trust the contract (a traced check would
+    have to compute both paths).  Shapes the kernel cannot tile fall back
+    to :func:`attention_reference`.
     """
     b, h, s, d = q.shape
     block_q = min(block_q, s)
     block_k = min(block_k, s)
-    # tiling guards: q/o blocks need sublane multiples of 8; small or ragged
-    # shapes use the XLA path (it fuses fine at these sizes)
-    if s % block_q or s % block_k or block_q % 8 or d % 8 or s < 128:
+    # tiling guards: q/o blocks AND k/v blocks need sublane multiples of 8
+    # (pl.ds starts at i*block_k must land on tile boundaries); small or
+    # ragged shapes use the XLA path (it fuses fine at these sizes)
+    if s % block_q or s % block_k or block_q % 8 or block_k % 8 or d % 8 or s < 128:
         return attention_reference(q, k, v, mask)
 
     if mask is None:
         lengths = jnp.full((b,), s, jnp.int32)
     else:
+        if not isinstance(mask, jax.core.Tracer):
+            m = np.asarray(mask).astype(np.int32)
+            lens = m.sum(axis=-1)
+            prefix = (np.arange(s)[None, :] < lens[:, None]).astype(np.int32)
+            if not np.array_equal(m, prefix):
+                return attention_reference(q, k, v, mask)
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
     return _flash_call(q, k, v, lengths, block_q, block_k, interpret)

@@ -10,8 +10,10 @@ attended to the full sequence without any device ever materializing the
 [s, s] score matrix or the full K/V.
 
 Pure-jnp inside shard_map (XLA overlaps the ppermute with the local block
-compute); composes with the Pallas flash kernel for the *local* block when
-shapes allow.
+compute).  The local block is a plain einsum — it materializes the
+[s_local, s_local] score tile, which is fine at this workload's shard sizes;
+swapping in the Pallas flash kernel for the local block is a possible
+future optimization, NOT something this module does today.
 """
 
 from __future__ import annotations

@@ -63,6 +63,9 @@ extern "C" {
 int mmg_png_read_info(const char* path, int* width, int* height, int* bit_depth) {
   PngReader reader;
   if (!reader.Open(path)) return 1;
+  // re-arm the error jmp_buf: the one set inside Open()'s frame is stale
+  // once Open returns, and a png_error longjmp through a dead frame is UB
+  if (setjmp(png_jmpbuf(reader.png))) return 2;
   *width = static_cast<int>(png_get_image_width(reader.png, reader.info));
   *height = static_cast<int>(png_get_image_height(reader.png, reader.info));
   *bit_depth = png_get_bit_depth(reader.png, reader.info);
@@ -87,7 +90,11 @@ int mmg_png_decode_gray(const char* path, void* out, size_t out_bytes) {
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   const bool has_trns = png_get_valid(png, info, PNG_INFO_tRNS);
   if (has_trns) png_set_tRNS_to_alpha(png);
-  if (color_type & PNG_COLOR_MASK_COLOR) png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+  // ITU-R 601 luma weights (x100000), matching PIL's convert("L")
+  // (299/587/114) so the PIL fallback in png_reader.py decodes color
+  // inputs to IDENTICAL gray values — libpng's default coefficients
+  // (709-ish) would silently skew cached features across environments
+  if (color_type & PNG_COLOR_MASK_COLOR) png_set_rgb_to_gray_fixed(png, 1, 29900, 58700);
   // strip alpha whether it came from the color type OR from a tRNS chunk
   // (gray/palette PNGs lack the alpha mask bit but tRNS_to_alpha above
   // still adds a channel — without this the rowbytes double and decode

@@ -106,6 +106,10 @@ void wp_free(void* handle) { delete static_cast<Vocab*>(handle); }
 int wp_encode_batch(void* handle, const char* texts_blob, const int64_t* offsets,
                     int n, int max_len, int lowercase, int max_chars,
                     int32_t* out_ids, int32_t* out_mask) {
+  // [CLS] + [SEP] is the minimum frame; max_len < 2 would underflow the
+  // truncation's resize(max_len - 1) to SIZE_MAX and std::terminate the
+  // whole process through the C ABI
+  if (max_len < 2) return -2;
   const Vocab& v = *static_cast<Vocab*>(handle);
   std::vector<int32_t> ids;
   std::string word;

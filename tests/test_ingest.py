@@ -52,6 +52,43 @@ def test_native_shim_builds_and_decodes(tmp_path):
     np.testing.assert_array_equal(arr, ref)
 
 
+def test_native_color_decode_matches_pil(tmp_path):
+    """COLOR input parity (review r4): the native shim grays RGB with the
+    same ITU-R 601 weights PIL's convert('L') uses — libpng's default
+    coefficients would silently skew cached features for color inputs
+    depending on whether the .so is present.  Tolerance 1 LSB for the two
+    libraries' rounding."""
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native lib not loadable")
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    path = str(tmp_path / "c.png")
+    Image.fromarray(rgb, mode="RGB").save(path)
+    native_arr = decode_png(path)
+    pil_arr = np.asarray(Image.open(path).convert("L"))
+    assert native_arr.shape == pil_arr.shape
+    diff = np.abs(native_arr.astype(np.int32) - pil_arr.astype(np.int32))
+    assert diff.max() <= 1, f"max gray diff {diff.max()}"
+
+
+def test_native_wordpiece_rejects_degenerate_max_len():
+    """max_len < 2 can't hold [CLS]+[SEP]: the shim must return an error
+    code (Python falls back), not underflow resize() and abort the process."""
+    from mmgclip_tpu.data.native_wordpiece import NativeWordPiece, native_available
+
+    if not native_available():
+        pytest.skip("native wordpiece unavailable")
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "hi": 4}
+    enc = NativeWordPiece(vocab)
+    assert enc.encode_batch(["hi"], 0) is None
+    assert enc.encode_batch(["hi"], 1) is None
+    out = enc.encode_batch(["hi"], 4)
+    assert out is not None
+
+
 def test_decode_missing_file_raises(tmp_path):
     with pytest.raises(Exception):
         decode_png(str(tmp_path / "nope.png"))

@@ -56,6 +56,25 @@ def test_flash_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_flash_attention_nonprefix_mask_falls_back_exactly():
+    """The kernel's mask contract is prefix-only (it reduces to per-row
+    lengths); a concrete NON-contiguous mask must route to the exact XLA
+    path, not be silently reinterpreted as 'first sum(mask) keys valid'
+    (review r4 — the misread was worth ~1.0 abs error)."""
+    rng = np.random.default_rng(1)
+    b, h, s, d = 2, 2, 128, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32) for _ in range(3))
+    mask = jnp.asarray(np.tile([1, 0], s // 2)[None, :].repeat(b, axis=0), jnp.int32)
+    ref = attention_reference(q, k, v, mask)
+    out = flash_attention(q, k, v, mask, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # degenerate block_k (not a sublane multiple) must also fall back
+    out2 = flash_attention(q, k, v, None, block_q=64, block_k=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(attention_reference(q, k, v, None)), atol=1e-5
+    )
+
+
 def test_eos_pool_picks_last_valid_token():
     hidden = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
     mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 1]])
