@@ -91,9 +91,14 @@ def bert_layer(hidden, p, attention_mask, *, heads, eps, use_flash, dtype):
     forward (parallel/pipeline.py), so both paths stay numerically identical.
     """
     b, s, H = hidden.shape
-    head_dim = H // heads
-    qkv = hidden @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(dtype)  # [b, s, 3H]
-    qkv = qkv.reshape(b, s, 3, heads, head_dim)
+    # qkv_kernel is [H, 3, heads, head_dim] (heads as their OWN axis, not
+    # folded into a 3H column): a Megatron column-parallel sharding lives on
+    # the heads axis and propagates straight through the einsum — the old
+    # [H, 3H] layout put tp shard boundaries mid-K/V, which GSPMD cannot
+    # push through the (3, heads, dh) reshape, degrading TP to a per-layer
+    # qkv all-gather
+    qkv = jnp.einsum("bsh,hknd->bsknd", hidden, p["qkv_kernel"].astype(dtype))
+    qkv = qkv + p["qkv_bias"].astype(dtype)  # bias [3, heads, dh] broadcasts
     q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
     if use_flash:
         ctx = flash_attention(q, k, v, attention_mask)
@@ -132,12 +137,15 @@ class BertEncoder(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="embeddings_norm")(hidden)
 
         L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+        dh = H // heads
         lecun = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
         ones = nn.initializers.ones
         stacked = {
-            "qkv_kernel": self.param("qkv_kernel", lecun, (L, H, 3 * H)),
-            "qkv_bias": self.param("qkv_bias", zeros, (L, 3 * H)),
+            # [L, H, 3, heads, dh] — see bert_layer for why heads is its own
+            # axis (TP sharding propagation)
+            "qkv_kernel": self.param("qkv_kernel", lecun, (L, H, 3, heads, dh)),
+            "qkv_bias": self.param("qkv_bias", zeros, (L, 3, heads, dh)),
             "out_kernel": self.param("out_kernel", lecun, (L, H, H)),
             "out_bias": self.param("out_bias", zeros, (L, H)),
             "attn_norm_scale": self.param("attn_norm_scale", ones, (L, H)),
@@ -211,15 +219,21 @@ def load_hf_weights(params: Dict, torch_state_dict: Dict[str, Any], config: Bert
         "mlp_in_kernel", "mlp_in_bias", "mlp_out_kernel", "mlp_out_bias",
         "out_norm_scale", "out_norm_bias",
     )}
+    H = config.hidden_size
+    heads = config.num_attention_heads
+    dh = H // heads
     for i in range(config.num_hidden_layers):
         pre = f"encoder.layer.{i}"
-        qw = t(f"{pre}.attention.self.query.weight").T
-        kw = t(f"{pre}.attention.self.key.weight").T
-        vw = t(f"{pre}.attention.self.value.weight").T
-        stacks["qkv_kernel"].append(jnp.concatenate([qw, kw, vw], axis=1))  # [H, 3H]
+        # HF projection weights are [H_out, H_in]; transposed, the output
+        # axis is heads-major, so reshape(H, heads, dh) is the per-head view
+        qw = t(f"{pre}.attention.self.query.weight").T.reshape(H, heads, dh)
+        kw = t(f"{pre}.attention.self.key.weight").T.reshape(H, heads, dh)
+        vw = t(f"{pre}.attention.self.value.weight").T.reshape(H, heads, dh)
+        stacks["qkv_kernel"].append(jnp.stack([qw, kw, vw], axis=1))  # [H, 3, heads, dh]
         stacks["qkv_bias"].append(
-            jnp.concatenate(
-                [t(f"{pre}.attention.self.{n}.bias") for n in ("query", "key", "value")]
+            jnp.stack(
+                [t(f"{pre}.attention.self.{n}.bias").reshape(heads, dh)
+                 for n in ("query", "key", "value")]
             )
         )
         stacks["out_kernel"].append(t(f"{pre}.attention.output.dense.weight").T)

@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-NEG_INF = -1e30
+from ..ops.flash_attention import NEG_INF
+from .bert import _layer_norm  # shared LN body — keep one implementation
+
 
 
 @dataclass(frozen=True)
@@ -50,10 +52,6 @@ class GPTConfig:
         )
 
 
-def _layer_norm(x, scale, bias, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 class CausalTextEncoder(nn.Module):
@@ -79,7 +77,7 @@ class CausalTextEncoder(nn.Module):
         pos = nn.Embed(
             cfg.max_position_embeddings + cfg.position_offset, cfg.hidden_size, name="embed_positions"
         )(positions.astype(jnp.int32))
-        hidden = tok + pos
+        hidden = (tok + pos).astype(cfg.dtype)
 
         L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
         lecun = nn.initializers.lecun_normal()
@@ -108,7 +106,7 @@ class CausalTextEncoder(nn.Module):
         def layer(hidden, p):
             # pre-LN attention block
             x = _layer_norm(hidden, p["attn_norm_scale"], p["attn_norm_bias"], eps)
-            qkv = x @ p["qkv_kernel"] + p["qkv_bias"]
+            qkv = x @ p["qkv_kernel"].astype(cfg.dtype) + p["qkv_bias"].astype(cfg.dtype)
             qkv = qkv.reshape(b, s, 3, heads, head_dim)
             q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -117,12 +115,12 @@ class CausalTextEncoder(nn.Module):
             probs = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
             ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, H)
-            hidden = hidden + (ctx @ p["out_kernel"] + p["out_bias"])
+            hidden = hidden + (ctx @ p["out_kernel"].astype(cfg.dtype) + p["out_bias"].astype(cfg.dtype))
 
             # pre-LN MLP block
             x = _layer_norm(hidden, p["mlp_norm_scale"], p["mlp_norm_bias"], eps)
-            x = nn.gelu(x @ p["mlp_in_kernel"] + p["mlp_in_bias"], approximate=False)
-            hidden = hidden + (x @ p["mlp_out_kernel"] + p["mlp_out_bias"])
+            x = nn.gelu(x @ p["mlp_in_kernel"].astype(cfg.dtype) + p["mlp_in_bias"].astype(cfg.dtype), approximate=False)
+            hidden = hidden + (x @ p["mlp_out_kernel"].astype(cfg.dtype) + p["mlp_out_bias"].astype(cfg.dtype))
             return hidden, None
 
         hidden, _ = jax.lax.scan(layer, hidden, stacked)

@@ -137,11 +137,13 @@ class MoEProjectionHead(nn.Module):
         position = jnp.sum(
             (jnp.cumsum(expert_onehot, axis=0) - expert_onehot) * expert_onehot, axis=-1
         )
-        keep = (position < capacity).astype(x.dtype)
+        # Switch capacity drop happens inside one_hot: positions >= capacity
+        # are out of range and produce an all-zero row (no extra keep factor
+        # needed — the token simply vanishes from dispatch, and the residual
+        # path plus zero-safe l2_normalize handle the dropped row)
         dispatch = (
             expert_onehot.astype(x.dtype)[:, :, None]
             * jax.nn.one_hot(position, capacity, dtype=x.dtype)[:, None, :]
-            * keep[:, None, None]
         )  # [n, e, c]
         gate = jnp.sum(probs.astype(x.dtype) * expert_onehot.astype(x.dtype), axis=-1)
         combine = dispatch * gate[:, None, None]

@@ -30,9 +30,13 @@ def text_tower_specs() -> dict:
             "position_embeddings": {"embedding": P(None, MODEL_AXIS)},
             "token_type_embeddings": {"embedding": P(None, MODEL_AXIS)},
             "embeddings_norm": {"scale": P(), "bias": P()},
-            # column-parallel: split output features
-            "qkv_kernel": P(None, None, MODEL_AXIS),
-            "qkv_bias": P(None, MODEL_AXIS),
+            # column-parallel: split the HEADS axis ([L, H, 3, heads, dh] —
+            # sharding the heads axis propagates through the qkv einsum and
+            # the (heads, dh)->H ctx merge, so attention stays local per
+            # shard; the old concatenated-3H column split put shard
+            # boundaries mid-K/V and degraded to a per-layer all-gather)
+            "qkv_kernel": P(None, None, None, MODEL_AXIS, None),
+            "qkv_bias": P(None, None, MODEL_AXIS, None),
             # row-parallel: split input features (psum after)
             "out_kernel": P(None, MODEL_AXIS, None),
             "out_bias": P(),

@@ -266,10 +266,19 @@ class ClassifierExperiment:
         model = self.model
         is_bert = isinstance(model.text_module, BertEncoder)
         if self._model_axis > 1 and is_bert:
+            from dataclasses import replace as dc_replace
+
             from ..parallel.tensor_parallel import shard_text_tower
 
             variables = shard_text_tower(model.text_variables, self.mesh)
+            # flash attention must be OFF under GSPMD TP: pl.pallas_call has
+            # no SPMD partitioning rule, so model-axis-sharded q/k/v either
+            # fail partitioning on real chips or silently replicate the
+            # attention; the XLA path partitions fine (the frozen tower runs
+            # once per dataset — this is not a hot-loop cost)
             module = model.text_module
+            if getattr(module.config, "use_flash_attention", False):
+                module = type(module)(dc_replace(module.config, use_flash_attention=False))
 
             def tp_tower(vars_, tt):
                 hidden = module.apply(

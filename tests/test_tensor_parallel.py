@@ -34,9 +34,11 @@ def test_tp_sharded_bert_matches_replicated():
     out = forward(sharded_params, ids, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
 
-    # the big kernels actually live sharded
+    # the big kernels actually live sharded — on the HEADS axis, so the
+    # column-parallel split propagates through the qkv einsum (no per-layer
+    # all-gather; review r4)
     qkv = sharded_params["params"]["qkv_kernel"]
-    assert qkv.sharding.spec == PartitionSpec(None, None, "model")
+    assert qkv.sharding.spec == PartitionSpec(None, None, None, "model", None)
 
 
 def test_tp_specs_cover_param_tree():
