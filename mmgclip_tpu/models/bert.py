@@ -138,13 +138,18 @@ class BertEncoder(nn.Module):
 
         L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
         dh = H // heads
-        lecun = nn.initializers.lecun_normal()
+        # explicit fan axes: the leading L is a scan/stack axis, not receptive
+        # field — default lecun_normal would fold it (and the 3/heads axes of
+        # the qkv kernel) into fan_in, shrinking init std by sqrt(L*3*heads)
+        # and crippling from-scratch towers
+        lecun = nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=0)
+        lecun_qkv = nn.initializers.lecun_normal(in_axis=1, out_axis=(2, 3, 4), batch_axis=0)
         zeros = nn.initializers.zeros
         ones = nn.initializers.ones
         stacked = {
             # [L, H, 3, heads, dh] — see bert_layer for why heads is its own
             # axis (TP sharding propagation)
-            "qkv_kernel": self.param("qkv_kernel", lecun, (L, H, 3, heads, dh)),
+            "qkv_kernel": self.param("qkv_kernel", lecun_qkv, (L, H, 3, heads, dh)),
             "qkv_bias": self.param("qkv_bias", zeros, (L, 3, heads, dh)),
             "out_kernel": self.param("out_kernel", lecun, (L, H, H)),
             "out_bias": self.param("out_bias", zeros, (L, H)),

@@ -90,11 +90,14 @@ class ConvNeXtStage(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         d = self.dim
-        lecun = nn.initializers.lecun_normal()
+        # leading depth is a scan/stack axis — keep it out of fan_in; the
+        # depthwise kernel's fan_in is its 7x7x1 receptive field (see bert.py)
+        lecun = nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=0)
+        lecun_dw = nn.initializers.lecun_normal(in_axis=3, out_axis=4, batch_axis=0)
         zeros = nn.initializers.zeros
         ones = nn.initializers.ones
         stacked = {
-            "dwconv_kernel": self.param("dwconv_kernel", lecun, (self.depth, 7, 7, 1, d)),
+            "dwconv_kernel": self.param("dwconv_kernel", lecun_dw, (self.depth, 7, 7, 1, d)),
             "dwconv_bias": self.param("dwconv_bias", zeros, (self.depth, d)),
             "norm_scale": self.param("norm_scale", ones, (self.depth, d)),
             "norm_bias": self.param("norm_bias", zeros, (self.depth, d)),

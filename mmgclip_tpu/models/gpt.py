@@ -80,7 +80,8 @@ class CausalTextEncoder(nn.Module):
         hidden = (tok + pos).astype(cfg.dtype)
 
         L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
-        lecun = nn.initializers.lecun_normal()
+        # leading L is a scan/stack axis — keep it out of fan_in (see bert.py)
+        lecun = nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=0)
         zeros = nn.initializers.zeros
         ones = nn.initializers.ones
         stacked = {

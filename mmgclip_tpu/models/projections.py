@@ -123,10 +123,13 @@ class MoEProjectionHead(nn.Module):
         capacity = max(1, int(self.capacity_factor * n / e))
 
         lecun = nn.initializers.lecun_normal()
+        # leading e is a stack-of-experts axis, not receptive field — keep it
+        # out of fan_in (see bert.py)
+        lecun_stacked = nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=0)
         router = self.param("router", lecun, (h, e))
-        w_in = self.param("w_in", lecun, (e, h, p))
+        w_in = self.param("w_in", lecun_stacked, (e, h, p))
         b_in = self.param("b_in", nn.initializers.zeros, (e, p))
-        w_out = self.param("w_out", lecun, (e, p, p))
+        w_out = self.param("w_out", lecun_stacked, (e, p, p))
         b_out = self.param("b_out", nn.initializers.zeros, (e, p))
 
         probs = jax.nn.softmax((x @ router).astype(jnp.float32), axis=-1)

@@ -442,3 +442,52 @@ def test_batchnorm_head_matches_torch_train_and_documents_eval_divergence():
                 module.reset_running_stats()
         theirs_fresh_eval = ref(torch.from_numpy(feats)).numpy()
     np.testing.assert_allclose(np.asarray(ours_eval), theirs_fresh_eval, rtol=2e-4, atol=2e-5)
+
+
+def test_stacked_param_init_std_ignores_stack_axis():
+    """The leading layer/depth/expert axis of scanned stacked kernels is a
+    batch axis, not receptive field: default lecun_normal folds it (and, for
+    the [L, H, 3, heads, dh] qkv kernel, the 3/heads axes) into fan_in,
+    shrinking init std by sqrt(L*3*heads) — enough to degenerate from-scratch
+    towers (the seeded demo's zero-shot AUC collapsed to 0.0 when the qkv
+    layout change triggered it).  Pin each stacked kernel's std to the
+    per-layer lecun target 1/sqrt(fan_in)."""
+    from mmgclip_tpu.models import GPTConfig, init_gpt
+    from mmgclip_tpu.models.projections import MoEProjectionHead
+
+    def check(arr, fan_in, name):
+        # truncated-normal lecun: realized std ~ 1/sqrt(fan_in) (the
+        # truncation correction is already folded into the initializer)
+        target = 1.0 / np.sqrt(fan_in)
+        got = float(np.asarray(arr).std())
+        assert 0.8 * target < got < 1.2 * target, (
+            f"{name}: init std {got:.5f} vs per-layer lecun target {target:.5f}"
+        )
+
+    bcfg = BertConfig.tiny()
+    _, bparams = init_bert(bcfg, seed=0)
+    bp = bparams["params"]
+    H, I = bcfg.hidden_size, bcfg.intermediate_size
+    check(bp["qkv_kernel"], H, "bert qkv_kernel")
+    check(bp["out_kernel"], H, "bert out_kernel")
+    check(bp["mlp_in_kernel"], H, "bert mlp_in_kernel")
+    check(bp["mlp_out_kernel"], I, "bert mlp_out_kernel")
+
+    gcfg = GPTConfig.tiny()
+    _, gparams = init_gpt(gcfg, seed=0)
+    gp = gparams["params"]
+    check(gp["qkv_kernel"], gcfg.hidden_size, "gpt qkv_kernel")
+    check(gp["mlp_out_kernel"], gcfg.intermediate_size, "gpt mlp_out_kernel")
+
+    ccfg = ConvNeXtConfig.micro()
+    _, cparams = init_convnext(ccfg, image_size=64)
+    stage = cparams["params"]["stage_0"]
+    d = int(np.asarray(stage["pwconv1_kernel"]).shape[1])
+    check(stage["dwconv_kernel"], 49, "convnext dwconv_kernel")
+    check(stage["pwconv1_kernel"], d, "convnext pwconv1_kernel")
+    check(stage["pwconv2_kernel"], 4 * d, "convnext pwconv2_kernel")
+
+    moe = MoEProjectionHead(embedding_dim=64, projection_dim=32, n_experts=4)
+    mparams = moe.init(jax.random.key(0), jnp.zeros((8, 64)))["params"]
+    check(mparams["w_in"], 64, "moe w_in")
+    check(mparams["w_out"], 32, "moe w_out")
