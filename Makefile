@@ -1,6 +1,6 @@
 # mmgclip_tpu developer targets
 
-.PHONY: test test-fast test-smoke demo bench bench-train bench-report dryrun reproduce eda
+.PHONY: test test-fast test-smoke demo bench bench-train bench-report bench-text dryrun reproduce eda
 
 test:            ## full suite on the virtual 8-device CPU mesh (~14 min on 1 core)
 	python -m pytest tests/ -q
@@ -28,6 +28,9 @@ bench-train:     ## fused-epoch train-step samples/sec
 
 bench-report:    ## one-call cascade latency vs stepwise
 	BENCH_MODE=report python bench.py
+
+bench-text:      ## text-tower flash-vs-XLA attention A/B
+	BENCH_MODE=text python bench.py
 
 dryrun:          ## multi-chip dryrun on a virtual 8-device CPU mesh (dp/tp/sp/pp/ep/zero1/multihost)
 	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"

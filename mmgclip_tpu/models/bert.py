@@ -163,7 +163,10 @@ class BertEncoder(nn.Module):
             "out_norm_bias": self.param("out_norm_bias", zeros, (L, H)),
         }
 
-        use_flash = cfg.use_flash_attention and jax.default_backend() == "tpu"
+        # flash only where it measured ahead of XLA: short-padded rows at
+        # s <= 256 (the kv-skip elides the tail); at s >= 512 XLA's batched
+        # attention wins outright (see ops/flash_attention.py docstring)
+        use_flash = cfg.use_flash_attention and jax.default_backend() == "tpu" and s <= 256
 
         def layer(hidden, p):
             hidden = bert_layer(
@@ -182,6 +185,44 @@ def init_bert(config: BertConfig, seed: int = 0):
     dummy = jnp.zeros((1, 8), jnp.int32)
     params = jax.jit(lambda k, x: module.init(k, x, deterministic=True))(jax.random.key(seed), dummy)
     return module, params
+
+
+def trim_padded_tail(text_tokens: Dict, multiple: int = 32) -> Dict:
+    """Drop all-padding tail columns from a right-padded token batch.
+
+    The product tokenizes to a fixed ``sequence_length`` (256, reference
+    parity) but real prompts are a few dozen tokens — the tower then spends
+    ~90% of its FLOPs on columns that are masked at every attention layer
+    and ignored by ``eos_pool``.  Trimming the tail to the batch's max valid
+    length (rounded up to ``multiple`` so compile count stays bounded at
+    s/multiple programs) is numerically exact for BOTH tower families:
+    attention masks padded keys to -inf (extra masked keys contribute
+    exp(-inf)=0 to the softmax), position embeddings are absolute over the
+    valid prefix (BERT: arange; BioGPT: cumsum(mask)), and LayerNorm/MLP act
+    per token.  Measured on the v5e: the bank encode at the committed prompt
+    banks (max 17 tokens -> s=32) runs ~5x the s=256 program.
+
+    No-op for traced inputs (shapes must be concrete) and when ``multiple``
+    is falsy.  Host-side arrays are trimmed host-side; device arrays cost
+    one [b, s] mask fetch.
+    """
+    if not multiple:
+        return text_tokens
+    ids = text_tokens.get("input_ids")
+    mask = text_tokens.get("attention_mask")
+    if ids is None or mask is None:
+        return text_tokens
+    if any(isinstance(t, jax.core.Tracer) for t in text_tokens.values()):
+        return text_tokens
+    s = ids.shape[-1]
+    import numpy as np
+
+    lens = np.asarray(jax.device_get(mask)).sum(axis=-1)
+    target = int(-(-max(int(lens.max(initial=1)), 1) // multiple) * multiple)
+    if target >= s:
+        return text_tokens
+    return {k: v[..., :target] if getattr(v, "ndim", 0) >= 1 and v.shape[-1] == s else v
+            for k, v in text_tokens.items()}
 
 
 def eos_pool(last_hidden_state, attention_mask):

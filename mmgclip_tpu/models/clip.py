@@ -27,7 +27,7 @@ import numpy as np
 from ..config.compose import Config
 from ..config.registry import NETWORKS
 from ..utils.logging import logger
-from .bert import BertConfig, BertEncoder, eos_pool
+from .bert import BertConfig, BertEncoder, eos_pool, trim_padded_tail
 from .projections import get_projection_head
 from .resnet import ResNetConfig, ResNet50Encoder
 
@@ -127,6 +127,11 @@ class MMGCLIP:
             else:
                 logger.warning(f"text_encoder.weights_path {weights_path!r} not found; using random init.")
         self.text_output_dimension = self.bert_config.hidden_size
+        # pad-trim bucket for concrete text batches (0 disables; see
+        # apply_text_tower / bert.trim_padded_tail)
+        self.text_pad_trim_multiple = int(
+            config.get_path("networks.text_encoder.config.pad_trim_multiple", 32)
+        )
 
         # --- optional trainable image tower (ResNet-50 ablation path) --
         self.image_module = None
@@ -223,7 +228,13 @@ class MMGCLIP:
         return flat
 
     def apply_text_tower(self, text_tokens: Dict):
-        """Frozen BERT -> EOS pooling (reference: mmgclip_model.py:95-115)."""
+        """Frozen BERT -> EOS pooling (reference: mmgclip_model.py:95-115).
+
+        Concrete (non-traced) token batches get their all-padding tail
+        trimmed first (``trim_padded_tail`` — numerically exact, ~5x on the
+        short-prompt product case); traced calls run at the caller's shape.
+        """
+        text_tokens = trim_padded_tail(text_tokens, self.text_pad_trim_multiple)
         hidden = self.text_module.apply(
             self.text_variables,
             text_tokens["input_ids"],

@@ -316,7 +316,15 @@ class ClassifierExperiment:
         """Run the frozen text tower over all rows once; returns [N, hidden].
 
         The final chunk is padded to the chunk size so every call shares one
-        compiled program (a ragged tail would trigger a second XLA compile)."""
+        compiled program (a ragged tail would trigger a second XLA compile).
+        The all-padding tail columns are trimmed once for the WHOLE bank
+        (global max valid length, one bucket -> one compile); the jitted
+        tower fn sees tracers, so the trim must happen out here."""
+        from ..models.bert import trim_padded_tail
+
+        tokens = trim_padded_tail(
+            tokens, getattr(self.model, "text_pad_trim_multiple", 32)
+        )
         n = tokens["input_ids"].shape[0]
         apply = self._tower_apply()
         outs = []

@@ -130,3 +130,25 @@ def test_bench_report_smoke():
     assert result["unit"] == "ms"
     assert result["value"] > 0
     assert result["detail"]["stepwise_9_roundtrips_ms"] > 0
+
+
+def test_bench_text_smoke():
+    result = _run("text")
+    assert result["unit"] == "texts/sec/chip"
+    assert result["value"] > 0
+    detail = result["detail"]
+    for key in (
+        "flash_prompts", "xla_prompts", "flash_full", "xla_full",
+        "flash_trimmed", "xla_trimmed",
+        "flash_speedup_prompts", "flash_speedup_full",
+        "trim_speedup_vs_padded", "trimmed_seq",
+        "prompt_len_min", "prompt_len_median", "prompt_len_max",
+    ):
+        assert key in detail
+    # real prompt-bank sentences: short, well under the padded sequence
+    assert 2 <= detail["prompt_len_min"] <= detail["prompt_len_max"]
+    assert detail["prompt_len_max"] <= detail["seq"]
+    # the trim bucket covers the longest prompt and stays a 32-multiple
+    assert detail["prompt_len_max"] <= detail["trimmed_seq"] <= detail["seq"]
+    assert detail["trimmed_seq"] % 32 == 0
+    assert result["value"] == max(detail["flash_trimmed"], detail["xla_trimmed"])

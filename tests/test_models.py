@@ -56,6 +56,26 @@ def test_flash_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_flash_attention_length_adaptive_short_rows_exact():
+    """The kernel's key-block loop is bounded by ceil(valid_len/block_k);
+    short rows (the product case: ~dozens of prompt tokens padded to 256)
+    must stay exactly equal to the full-loop reference, including the
+    valid_len == 0 degenerate row (uniform attention over all keys)."""
+    rng = np.random.default_rng(2)
+    b, h, s, d = 4, 2, 256, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32) for _ in range(3))
+    lens = [0, 1, 10, 200]  # degenerate, sub-block, one-block, multi-block
+    mask = jnp.asarray(np.arange(s)[None, :] < np.asarray(lens)[:, None], jnp.int32)
+    ref = attention_reference(q, k, v, mask)
+    out = flash_attention(q, k, v, mask, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # traced-mask route (what BertEncoder hits under jit) too
+    out_t = jax.jit(
+        lambda q, k, v, m: flash_attention(q, k, v, m, block_q=64, block_k=64, interpret=True)
+    )(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref), atol=1e-5)
+
+
 def test_flash_attention_nonprefix_mask_falls_back_exactly():
     """The kernel's mask contract is prefix-only (it reduces to per-row
     lengths); a concrete NON-contiguous mask must route to the exact XLA
@@ -104,6 +124,69 @@ def test_bert_padding_invariance():
     out1 = module.apply(params, ids, attention_mask=mask)
     out2 = module.apply(params, ids2, attention_mask=mask)
     np.testing.assert_allclose(np.asarray(out1[:, :4]), np.asarray(out2[:, :4]), atol=1e-5)
+
+
+def test_trim_padded_tail_semantics():
+    from mmgclip_tpu.models.bert import trim_padded_tail
+
+    ids = np.zeros((3, 256), np.int32)
+    mask = np.zeros((3, 256), np.int32)
+    mask[0, :4] = 1
+    mask[1, :17] = 1
+    mask[2, :9] = 1
+    extra = np.arange(3)  # non-sequence entry must pass through untouched
+    tokens = {"input_ids": ids, "attention_mask": mask, "labels": extra}
+    out = trim_padded_tail(tokens, multiple=32)
+    assert out["input_ids"].shape == (3, 32)  # max len 17 -> bucket 32
+    assert out["attention_mask"].shape == (3, 32)
+    assert out["labels"] is extra
+    # disabled / full-length / traced inputs are no-ops
+    assert trim_padded_tail(tokens, multiple=0) is tokens
+    full = {"input_ids": ids, "attention_mask": np.ones_like(mask)}
+    assert trim_padded_tail(full, multiple=32) is full
+    traced_shapes = jax.eval_shape(
+        lambda tt: trim_padded_tail(tt, 32)["input_ids"],
+        {"input_ids": jnp.zeros((3, 256), jnp.int32), "attention_mask": jnp.zeros((3, 256), jnp.int32)},
+    )
+    assert traced_shapes.shape == (3, 256)
+
+
+def test_trim_padded_tail_pooled_equality_both_towers():
+    """Trimming the all-padding tail must leave EOS-pooled features exact
+    for both tower families: BERT (absolute arange positions) and the
+    causal BioGPT topology (cumsum-of-mask positions)."""
+    from mmgclip_tpu.models import GPTConfig, init_gpt
+    from mmgclip_tpu.models.bert import eos_pool, trim_padded_tail
+
+    rng = np.random.default_rng(5)
+    b, s = 4, 64
+    lens = np.asarray([3, 11, 17, 9])
+    ids = rng.integers(1, 200, size=(b, s)).astype(np.int32)
+    mask = (np.arange(s)[None, :] < lens[:, None]).astype(np.int32)
+    ids = ids * mask  # pad id 0 outside the valid prefix
+
+    for build in (
+        lambda: init_bert(BertConfig.tiny(), seed=0),
+        lambda: __import__("mmgclip_tpu.models", fromlist=["init_gpt"]).init_gpt(GPTConfig.tiny(), seed=0),
+    ):
+        module, params = build()
+        full = eos_pool(
+            module.apply(params, jnp.asarray(ids), attention_mask=jnp.asarray(mask)),
+            jnp.asarray(mask),
+        )
+        trimmed_tokens = trim_padded_tail(
+            {"input_ids": ids, "attention_mask": mask}, multiple=8
+        )
+        assert trimmed_tokens["input_ids"].shape == (b, 24)  # max 17 -> 24
+        trimmed = eos_pool(
+            module.apply(
+                params,
+                jnp.asarray(trimmed_tokens["input_ids"]),
+                attention_mask=jnp.asarray(trimmed_tokens["attention_mask"]),
+            ),
+            jnp.asarray(trimmed_tokens["attention_mask"]),
+        )
+        np.testing.assert_allclose(np.asarray(full), np.asarray(trimmed), atol=1e-5)
 
 
 def test_projection_heads_shapes():
