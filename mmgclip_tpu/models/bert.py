@@ -8,8 +8,10 @@ converted from a HuggingFace torch checkpoint when one is available
 
 TPU-first structure: all transformer layers share one set of *stacked*
 parameters ([layers, ...]) and run under ``jax.lax.scan`` — one layer body in
-the compiled program instead of 12 unrolled copies.  Attention is the Pallas
-flash kernel on TPU (ops/flash_attention.py) with an XLA fallback.  The tower
+the compiled program instead of 12 unrolled copies.  Attention defaults to
+the XLA path — measured faster than the Pallas flash kernel at every product
+configuration on a real v5e (see BertConfig.use_flash_attention, which turns
+the kernel on for long-context experiments).  The tower
 is frozen in every reference training configuration, so it always runs
 deterministically (no dropout) — the reference leaves HF dropout active on
 the frozen tower during training, which only adds noise to features that
@@ -38,7 +40,15 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
-    use_flash_attention: bool = True
+    # default OFF: tower-level A/B on the real v5e (BENCH_MODE=text)
+    # measured the Pallas flash path at 0.6-0.7x the XLA attention path at
+    # every product configuration — XLA's dot_general absorbs the
+    # [b,s,h,d]<->[b,h,s,d] layouts that a pallas_call forces into
+    # materialized transposes, and pad-trimmed product batches run at
+    # s=32 where the kernel doesn't tile anyway.  The kernel stays
+    # config-reachable (networks.text_encoder.config.use_flash_attention)
+    # and the bench A/B keeps the comparison honest.
+    use_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -163,10 +173,9 @@ class BertEncoder(nn.Module):
             "out_norm_bias": self.param("out_norm_bias", zeros, (L, H)),
         }
 
-        # flash only where it measured ahead of XLA: short-padded rows at
-        # s <= 256 (the kv-skip elides the tail); at s >= 512 XLA's batched
-        # attention wins outright (see ops/flash_attention.py docstring)
-        use_flash = cfg.use_flash_attention and jax.default_backend() == "tpu" and s <= 256
+        # opt-in (see BertConfig.use_flash_attention) and TPU-only; the XLA
+        # path is the measured default (ops/flash_attention.py docstring)
+        use_flash = cfg.use_flash_attention and jax.default_backend() == "tpu"
 
         def layer(hidden, p):
             hidden = bert_layer(

@@ -18,11 +18,15 @@ streamed whole [s, d] k/v panels into each program through a serial
 fori_loop, which measured 0.37-0.69x the XLA attention path on a real
 v5e.  Measured honestly (BENCH_MODE=text + op-level sweeps on the chip):
 at BERT-base sizes XLA's batched attention is a STRONG baseline — flash
-wins only where the length-adaptive skip has padding to elide (short rows
-padded to s<=256: ~1.25x op-level), roughly ties at full-length s=256,
-and loses at s>=512 (XLA hits ~50 TFLOPs at s=2048; this kernel ~21 — the
-d=64 dots under-fill the MXU).  Callers gate accordingly (models/bert.py
-enables flash only for s<=256).
+wins only at op level on short rows padded to s<=256 (~1.25x, the
+length-adaptive skip eliding the tail), roughly ties at full-length
+s=256, and loses at s>=512 (XLA hits ~50 TFLOPs at s=2048; this kernel
+~21 — the d=64 dots under-fill the MXU).  TOWER-level the kernel loses
+everywhere (0.6-0.7x): the scanned layer hands over [b,h,s,d] operands
+whose layout XLA's dot_general absorbs for free but a pallas_call turns
+into materialized transposes.  Hence the product default is the XLA path
+(BertConfig.use_flash_attention=False, opt-in for long-context work), and
+pad-trimmed product batches run below the s>=128 tile floor anyway.
 
 The kv loop is *length-adaptive*: blocks wholly past a row's valid length
 are skipped — their compute is predicated off with pl.when AND their DMA

@@ -181,13 +181,9 @@ def pipelined_bert_forward(
         "out_norm_scale", "out_norm_bias",
     )
     stacked = {k: enc[k] for k in stacked_keys}
-    # same seq-length policy as BertEncoder: flash measured ahead of XLA
-    # only at s <= 256 (ops/flash_attention.py docstring)
-    use_flash = (
-        config.use_flash_attention
-        and jax.default_backend() == "tpu"
-        and input_ids.shape[-1] <= 256
-    )
+    # same policy as BertEncoder: flash is opt-in, XLA is the measured
+    # default (ops/flash_attention.py docstring)
+    use_flash = config.use_flash_attention and jax.default_backend() == "tpu"
 
     def layer_fn(state, p):
         h, mask = state
