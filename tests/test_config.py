@@ -83,3 +83,22 @@ def test_group_override_preserves_sibling_groups():
     assert cfg.dataset.config.search_col == "mass_shape"  # swapped
     assert cfg.dataset.percentage.name == "100percent"  # preserved
     assert "dropout" in cfg.networks  # untouched sibling group
+
+
+def test_fused_network_preset_reaches_tower_config():
+    """`networks=clip_convnext_fused_bert` must flow through
+    load_convnext_tower into a ConvNeXtConfig with the fused-block Pallas
+    path + bf16 enabled (the measured 1.27x encode preset)."""
+    cfg = compose(
+        CONFIG_DIR, "train_binary_class_clf",
+        overrides=["networks=clip_convnext_fused_bert",
+                   "networks.image_encoder.config.micro=true",
+                   "networks.image_encoder.convnext_tiny_clf_path="],
+    )
+    import jax.numpy as jnp
+
+    from mmgclip_tpu.ingest.encode import load_convnext_tower
+
+    _module, _params, cn_config = load_convnext_tower(cfg)
+    assert cn_config.use_fused_blocks is True
+    assert cn_config.dtype == jnp.bfloat16
