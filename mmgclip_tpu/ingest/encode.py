@@ -76,6 +76,12 @@ def load_convnext_tower(config, seed: int = 0):
         # collapses the block's ~25 HBM element-passes to ~2 on real TPU;
         # falls back to the identical-math lax path off-TPU
         cn_config = replace(cn_config, use_fused_blocks=True)
+    if overrides.get("gelu"):
+        # "tanh" swaps the exact-erf GELU for the tanh approximation in
+        # BOTH the fused kernel and the lax path (~3e-4 max abs error, an
+        # order below bf16 resolution) — stages 0/1 are VPU-bound once
+        # fused, and the 4C-wide GELU is the largest elementwise pass
+        cn_config = replace(cn_config, gelu=str(overrides["gelu"]))
     module, params = init_convnext(cn_config, seed=seed, image_size=64)
     if path and os.path.isfile(path) and path.endswith(".npz"):
         from flax import serialization

@@ -48,6 +48,11 @@ class ConvNeXtConfig:
     # dynamically-quantized int8 matmuls with int32 accumulation
     # (ops/quant.py; 2x MXU rate on v5e).  None = full-precision path.
     quant: Any = None
+    # "exact" (default, torch-parity: the reference's nn.GELU) or "tanh":
+    # the tanh approximation (~3e-4 max abs error) cuts the VPU cost of the
+    # block's 4C-wide GELU — the largest elementwise pass once fusion makes
+    # stages 0/1 VPU-bound (per-layer v5e roofline, bench.py)
+    gelu: str = "exact"
 
     @staticmethod
     def tiny(num_classes: int = 2) -> "ConvNeXtConfig":
@@ -86,6 +91,7 @@ class ConvNeXtStage(nn.Module):
     use_pallas_dwconv: bool = False
     use_fused_blocks: bool = False
     quant: Any = None
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -114,6 +120,7 @@ class ConvNeXtStage(nn.Module):
         use_pallas = self.use_pallas_dwconv
         use_fused = self.use_fused_blocks
         quant = self.quant
+        gelu_tanh = self.gelu == "tanh"
 
         def block(x, p):
             from ..ops.depthwise_conv import depthwise_conv7x7
@@ -136,6 +143,8 @@ class ConvNeXtStage(nn.Module):
                     p["pwconv1_kernel"].astype(dtype), p["pwconv1_bias"].astype(dtype),
                     p["pwconv2_kernel"].astype(dtype), p["pwconv2_bias"].astype(dtype),
                     p["gamma"].astype(dtype),
+                    False, gelu_tanh,  # interpret, gelu_tanh (positional:
+                    # custom_vjp nondiff args must not be keywords)
                 )
                 if mask is not None:
                     out = out * mask
@@ -158,11 +167,11 @@ class ConvNeXtStage(nn.Module):
                 from ..ops.quant import int8_dot
 
                 y = int8_dot(y, p["pwconv1_kernel"], out_dtype=dtype) + p["pwconv1_bias"].astype(dtype)
-                y = nn.gelu(y, approximate=False)
+                y = nn.gelu(y, approximate=gelu_tanh)
                 y = int8_dot(y, p["pwconv2_kernel"], out_dtype=dtype) + p["pwconv2_bias"].astype(dtype)
             else:
                 y = jnp.einsum("bhwc,cf->bhwf", y, p["pwconv1_kernel"].astype(dtype)) + p["pwconv1_bias"].astype(dtype)
-                y = nn.gelu(y, approximate=False)
+                y = nn.gelu(y, approximate=gelu_tanh)
                 y = jnp.einsum("bhwf,fc->bhwc", y, p["pwconv2_kernel"].astype(dtype)) + p["pwconv2_bias"].astype(dtype)
             out = residual + p["gamma"].astype(dtype) * y
             if mask is not None:
@@ -220,7 +229,7 @@ class ConvNeXt(nn.Module):
                     valid_hw = -(-valid_hw // 2)
                     x = x * _valid_mask(x, valid_hw)
             mask = None if valid_hw is None else _valid_mask(x, valid_hw)
-            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, cfg.use_fused_blocks, cfg.quant, name=f"stage_{stage}")(x, mask)
+            x = ConvNeXtStage(dim, depth, cfg.layer_scale_init, cfg.dtype, cfg.unroll_blocks, cfg.use_pallas_dwconv, cfg.use_fused_blocks, cfg.quant, cfg.gelu, name=f"stage_{stage}")(x, mask)
 
         if not pool:
             return x

@@ -75,6 +75,23 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _gelu(x, tanh_approx: bool):
+    """GELU on the in-kernel fp32 intermediate.
+
+    exact (default): 0.5*x*(1+erf(x/sqrt(2))) via the A&S erf above —
+    byte-level parity target is jax.nn.gelu(approximate=False).
+    tanh: the standard tanh approximation (max abs error ~3e-4, an order
+    below bf16 resolution at GELU-active magnitudes) — it drops the A&S
+    rational poly, cutting the VPU cost of the block's largest elementwise
+    pass (the 4C-wide tensor).  The per-layer v5e roofline prices the
+    difference (bench.py: stages 0/1 are VPU-bound once fused)."""
+    if not tanh_approx:
+        return 0.5 * x * (1.0 + _erf(x * np.float32(1 / np.sqrt(2))))
+    c0 = np.float32(np.sqrt(2.0 / np.pi))
+    c1 = np.float32(0.044715)
+    return 0.5 * x * (1.0 + jnp.tanh(c0 * (x + c1 * x * x * x)))
+
+
 def _quantize_chunk(y):
     """In-kernel dynamic symmetric int8 quantization (per-chunk scale).
 
@@ -88,7 +105,7 @@ def _quantize_chunk(y):
 
 
 def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, *rest,
-            tile_h: int, eps: float, quant: bool):
+            tile_h: int, eps: float, quant: bool, gelu_tanh: bool = False):
     """x_ref/o_ref: [1, H, W, C]; xpad_ref: [H+6, W+6, C] VMEM scratch.
 
     ``quant=False`` rest: (w1, b1, w2, b2, g, o, xpad);
@@ -141,9 +158,10 @@ def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, *rest,
         else:
             y2 = y.astype(w1.dtype).reshape(tile_h * w, c)
             hmid = jnp.dot(y2, w1, preferred_element_type=jnp.float32) + b1
-        # exact GELU spelled via the in-kernel erf (Mosaic lowers neither
-        # the erf nor the erfc primitive that jax.nn.gelu uses)
-        hmid = 0.5 * hmid * (1.0 + _erf(hmid * np.float32(1 / np.sqrt(2))))
+        # GELU spelled in-kernel (Mosaic lowers neither the erf nor the
+        # erfc primitive that jax.nn.gelu uses); gelu_tanh trades the A&S
+        # poly for the cheaper tanh form on the 4C-wide tensor
+        hmid = _gelu(hmid, gelu_tanh)
         if quant:
             hq, hs = _quantize_chunk(hmid)
             out = jnp.dot(hq, w2, preferred_element_type=jnp.int32)
@@ -160,8 +178,9 @@ def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, *rest,
     jax.lax.fori_loop(0, h // tile_h, chunk, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret"))
-def _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps, interpret):
+@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret", "gelu_tanh"))
+def _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps, interpret,
+                gelu_tanh=False):
     n, h, w, c = x.shape
     row = lambda v: v.reshape(1, -1)  # noqa: E731 - 2D for clean (sublane, lane) layout
 
@@ -169,7 +188,8 @@ def _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps, interpre
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, eps=eps, quant=False),
+        functools.partial(_kernel, tile_h=tile_h, eps=eps, quant=False,
+                          gelu_tanh=gelu_tanh),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -187,9 +207,9 @@ def _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps, interpre
     )(x, dwk, row(dwb), row(ns), row(nb), w1, row(b1), w2, row(b2), row(g))
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret", "gelu_tanh"))
 def _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps,
-                     interpret):
+                     interpret, gelu_tanh=False):
     """Int8 variant: weights quantized per-output-channel OUTSIDE the kernel
     (batch-amortized, and XLA hoists it across pmapped/scanned calls);
     activations quantized per-chunk INSIDE, so nothing int8-related ever
@@ -205,7 +225,8 @@ def _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, eps=eps, quant=True),
+        functools.partial(_kernel, tile_h=tile_h, eps=eps, quant=True,
+                          gelu_tanh=gelu_tanh),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -224,7 +245,8 @@ def _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps,
       w1q, ws1, row(b1), w2q, ws2, row(b2), row(g))
 
 
-def _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
+def _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6,
+               gelu_tanh=False):
     """The reference-math lax path (models/convnext.py block body)."""
     c = x.shape[-1]
     dt = x.dtype
@@ -236,12 +258,13 @@ def _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
     var = jnp.var(y, axis=-1, keepdims=True)
     y = ((y - mean) * jax.lax.rsqrt(var + eps) * ns + nb).astype(dt)
     y = jnp.einsum("bhwc,cf->bhwf", y, w1.astype(dt)) + b1.astype(dt)
-    y = jax.nn.gelu(y, approximate=False)
+    y = jax.nn.gelu(y, approximate=gelu_tanh)
     y = jnp.einsum("bhwf,fc->bhwc", y, w2.astype(dt)) + b2.astype(dt)
     return x + g.astype(dt) * y
 
 
-def _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
+def _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6,
+                    gelu_tanh=False):
     """Reference-math int8 fallback: the unfused quant path of
     models/convnext.py (int8_dot on the two pointwise convs)."""
     from .quant import int8_dot
@@ -256,7 +279,7 @@ def _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6):
     var = jnp.var(y, axis=-1, keepdims=True)
     y = ((y - mean) * jax.lax.rsqrt(var + eps) * ns + nb).astype(dt)
     y = int8_dot(y, w1, out_dtype=dt) + b1.astype(dt)
-    y = jax.nn.gelu(y, approximate=False)
+    y = jax.nn.gelu(y, approximate=gelu_tanh)
     y = int8_dot(y, w2, out_dtype=dt) + b2.astype(dt)
     return x + g.astype(dt) * y
 
@@ -274,13 +297,17 @@ def _vmem_working_set(h, w, c, dtype_bytes, tile_h):
 FORCE_INTERPRET = False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
-def fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret=False,
+                         gelu_tanh=False):
     """One ConvNeXt block, VMEM-fused.  x: [n, h, w, c] NHWC.
 
     Kernel path on TPU (or `interpret=True`) when the per-image working set
-    fits VMEM; exact-math lax fallback otherwise.  Differentiable via the
-    lax path (frozen-tower configs never take the backward)."""
+    fits VMEM; identical-math lax fallback otherwise.  `gelu_tanh` swaps the
+    exact-erf GELU for the tanh approximation IN BOTH PATHS (the fallback
+    keeps byte-level parity with whatever math the kernel runs).
+    Differentiable via the lax path (frozen-tower configs never take the
+    backward)."""
     interpret = interpret or FORCE_INTERPRET
     n, h, w, c = x.shape
     tile_h = _pick_tile_h(h, w, c)
@@ -289,27 +316,31 @@ def fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret=False
         and _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET
     )
     if not usable:
-        return _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
+        return _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                          gelu_tanh=gelu_tanh)
     return _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                       tile_h=tile_h, eps=1e-6, interpret=interpret)
+                       tile_h=tile_h, eps=1e-6, interpret=interpret,
+                       gelu_tanh=gelu_tanh)
 
 
-def _fwd(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret):
-    out = fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret)
+def _fwd(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret, gelu_tanh):
+    out = fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                               interpret, gelu_tanh)
     return out, (x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
 
 
-def _bwd(interpret, residuals, ct):
-    _, vjp = jax.vjp(lambda *args: _lax_block(*args), *residuals)
+def _bwd(interpret, gelu_tanh, residuals, ct):
+    _, vjp = jax.vjp(
+        lambda *args: _lax_block(*args, gelu_tanh=gelu_tanh), *residuals)
     return vjp(ct)
 
 
 fused_convnext_block.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_convnext_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                              interpret=False):
+                              interpret=False, gelu_tanh=False):
     """One ConvNeXt block, VMEM-fused with int8 pointwise matmuls.
 
     Combines the two levers the per-layer v5e roofline says matter: the
@@ -328,19 +359,22 @@ def fused_convnext_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
         and _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET
     )
     if not usable:
-        return _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
+        return _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                               gelu_tanh=gelu_tanh)
     return _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                            tile_h=tile_h, eps=1e-6, interpret=interpret)
+                            tile_h=tile_h, eps=1e-6, interpret=interpret,
+                            gelu_tanh=gelu_tanh)
 
 
-def _fwd_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret):
+def _fwd_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret, gelu_tanh):
     out = fused_convnext_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                                    interpret)
+                                    interpret, gelu_tanh)
     return out, (x, dwk, dwb, ns, nb, w1, b1, w2, b2, g)
 
 
-def _bwd_int8(interpret, residuals, ct):
-    _, vjp = jax.vjp(lambda *args: _lax_block_int8(*args), *residuals)
+def _bwd_int8(interpret, gelu_tanh, residuals, ct):
+    _, vjp = jax.vjp(
+        lambda *args: _lax_block_int8(*args, gelu_tanh=gelu_tanh), *residuals)
     return vjp(ct)
 
 

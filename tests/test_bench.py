@@ -60,6 +60,9 @@ def test_bench_encode_smoke():
         "int8_compute_only_img_per_sec", "int8_max_feature_rel_err",
         "int8_min_feature_cosine",
         "fused_compute_only_img_per_sec", "fused_max_feature_rel_err",
+        "fused_tanh_compute_only_img_per_sec", "e2e_tower",
+        "v5e_fused_tanh_projected_img_per_sec",
+        "headline_compute_only_img_per_sec",
         "v5e_sol_img_per_sec", "v5e_projected_img_per_sec",
         "v5e_int8_projected_img_per_sec", "v5e_per_stage",
         "v5e_fused_projected_img_per_sec", "v5e_fused_int8_projected_img_per_sec",
@@ -70,11 +73,17 @@ def test_bench_encode_smoke():
     assert result["value"] == detail["median_img_per_sec"]
     assert result["value"] <= detail["best_window_img_per_sec"] + 1e-6
     # arithmetically consistent bound claim (VERDICT r2 weak #1): the
-    # claimed binding resource is really min(compute, h2d_true), and
-    # overlap_efficiency re-derives from the rounded fields
+    # claimed binding resource is really min(compute, h2d_true) — with
+    # compute priced at the HEADLINE tower (fused when it lowered, which
+    # is what the e2e loop ran) — and overlap_efficiency re-derives from
+    # the rounded fields
+    headline_compute = detail["headline_compute_only_img_per_sec"]
+    assert detail["e2e_tower"] in ("fused", "unfused")
+    if detail["e2e_tower"] == "unfused":
+        assert headline_compute == detail["compute_only_img_per_sec"]
     assert detail["binding_img_per_sec"] == pytest.approx(
         max(
-            min(detail["compute_only_img_per_sec"], detail["h2d_pipeline_img_per_sec"]),
+            min(headline_compute, detail["h2d_pipeline_img_per_sec"]),
             detail["median_img_per_sec"],  # noise-slow ceilings floor at achieved
         ),
         rel=0.02,  # detail rates round to 0.1 img/s
@@ -85,7 +94,7 @@ def test_bench_encode_smoke():
     )
     assert detail["overlap_efficiency"] <= 1.0001
     expected_bound = "h2d" if (
-        detail["h2d_pipeline_img_per_sec"] < detail["compute_only_img_per_sec"]
+        detail["h2d_pipeline_img_per_sec"] < headline_compute
     ) else "compute"
     assert detail["bound"] == expected_bound
     # the pipeline ceiling includes dispatch overhead: never above link rate

@@ -171,6 +171,72 @@ def test_convnext_model_fused_int8_close_to_fp32(monkeypatch):
     assert np.abs(out - fp).max() > 1e-4
 
 
+def test_fused_block_tanh_gelu_matches_lax_tanh():
+    """gelu_tanh=True: the kernel's in-VMEM tanh GELU must equal the lax
+    path with jax.nn.gelu(approximate=True) — same math, both paths — and
+    be live (differ from the exact-erf output) while staying within the
+    approximation's published error of the exact path."""
+    rng = np.random.default_rng(10)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, c)), jnp.float32)
+    p = _params(rng, c)
+    ref_tanh = _lax_block(x, *p.values(), gelu_tanh=True)
+    out_tanh = fused_convnext_block(x, *p.values(), True, True)
+    np.testing.assert_allclose(np.asarray(out_tanh), np.asarray(ref_tanh),
+                               atol=2e-5, rtol=2e-5)
+    exact = np.asarray(_lax_block(x, *p.values()))
+    diff = np.abs(np.asarray(out_tanh) - exact)
+    assert diff.max() > 1e-7  # the approximation is actually in play
+    # tanh-GELU max abs error ~3e-4 pre-projection; post pw2/layer-scale it
+    # stays well below the fused kernel's 1e-3 feature contract
+    assert diff.max() / max(np.abs(exact).max(), 1e-9) < 1e-3
+
+
+def test_fused_block_tanh_gradient_matches_lax_tanh():
+    """Backward of the tanh-GELU kernel differentiates the tanh lax math,
+    not the exact-erf math."""
+    rng = np.random.default_rng(11)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, c)), jnp.float32)
+    p = _params(rng, c)
+    gx_f = jax.grad(lambda x: jnp.sum(
+        fused_convnext_block(x, *p.values(), True, True) ** 2))(x)
+    gx_l = jax.grad(lambda x: jnp.sum(
+        _lax_block(x, *p.values(), gelu_tanh=True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_l),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_convnext_model_gelu_tanh_paths_agree(monkeypatch):
+    """ConvNeXtConfig(gelu='tanh'): the fused kernel (interpret-forced), the
+    off-TPU lax fallback, and the plain unfused tower must all run the SAME
+    tanh math (fallback byte-matches unfused), and the tanh tower must stay
+    within the approximation budget of the exact tower."""
+    from dataclasses import replace
+
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+
+    cfg = ConvNeXtConfig(depths=(1, 2, 1, 1), dims=(32, 64, 128, 256),
+                         in_channels=1, layer_scale_init=0.1)
+    module, params = init_convnext(cfg, seed=0, image_size=32)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)), jnp.float32)
+    exact = np.asarray(module.apply(params, x))
+
+    tanh_unfused = np.asarray(ConvNeXt(replace(cfg, gelu="tanh")).apply(params, x))
+    # no FORCE_INTERPRET: fused knob off-TPU -> lax fallback, byte parity
+    tanh_fallback = np.asarray(
+        ConvNeXt(replace(cfg, gelu="tanh", use_fused_blocks=True)).apply(params, x))
+    np.testing.assert_array_equal(tanh_fallback, tanh_unfused)
+
+    monkeypatch.setattr(fb, "FORCE_INTERPRET", True)
+    tanh_fused = np.asarray(
+        ConvNeXt(replace(cfg, gelu="tanh", use_fused_blocks=True)).apply(params, x))
+    np.testing.assert_allclose(tanh_fused, tanh_unfused, atol=2e-5, rtol=2e-5)
+    rel = np.linalg.norm(tanh_fused - exact) / np.linalg.norm(exact)
+    assert 0 < rel < 5e-3
+
+
 def test_pick_tile_h_divides_h():
     for h in (8, 12, 48, 56, 64):
         t = _pick_tile_h(h, 64, 96)
