@@ -628,6 +628,8 @@ def bench_encode() -> dict:
     # A/B (fused_tanh_compute_only_img_per_sec) measures the same lever
     v5e_sol_fused_tanh, v5e_projected_fused_tanh, _ = _v5e_per_layer_projection(
         size, mfu, fused=True, batch=batch, gelu_flops=8)
+    v5e_sol_fit, v5e_projected_fit, _ = _v5e_per_layer_projection(
+        size, mfu, fused=True, int8=True, batch=batch, gelu_flops=8)
     analytic_flops = sum(mf + vf for _n, mf, vf, _b, _q in _convnext_layer_costs(size, batch=batch))
     return {
         "metric": f"images/sec/chip (CLIP encode, {size}x{size} gray, bf16, batch {batch})",
@@ -677,6 +679,7 @@ def bench_encode() -> dict:
             "v5e_fused_int8_projected_img_per_sec": round(v5e_projected_fused_int8, 0),
             "v5e_fused_tanh_sol_img_per_sec": round(v5e_sol_fused_tanh, 0),
             "v5e_fused_tanh_projected_img_per_sec": round(v5e_projected_fused_tanh, 0),
+            "v5e_fused_int8_tanh_projected_img_per_sec": round(v5e_projected_fit, 0),
             "v5e_per_stage": stage_summary,
             "v5e_fused_per_stage": fused_summary,
             "v5e_projection_basis": (

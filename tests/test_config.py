@@ -102,3 +102,29 @@ def test_fused_network_preset_reaches_tower_config():
     _module, _params, cn_config = load_convnext_tower(cfg)
     assert cn_config.use_fused_blocks is True
     assert cn_config.dtype == jnp.bfloat16
+
+
+def test_fused_tanh_network_preset_reaches_tower_config():
+    """`networks=clip_convnext_fused_tanh_bert` (the fastest measured
+    tower: 1.52x compute-only on a real v5e) must flow through
+    load_convnext_tower with fused blocks + the tanh GELU, while the
+    sibling presets keep the torch-parity exact GELU."""
+    cfg = compose(
+        CONFIG_DIR, "train_binary_class_clf",
+        overrides=["networks=clip_convnext_fused_tanh_bert",
+                   "networks.image_encoder.config.micro=true",
+                   "networks.image_encoder.convnext_tiny_clf_path="],
+    )
+    from mmgclip_tpu.ingest.encode import load_convnext_tower
+
+    _module, _params, cn_config = load_convnext_tower(cfg)
+    assert cn_config.use_fused_blocks is True
+    assert cn_config.gelu == "tanh"
+
+    base = compose(
+        CONFIG_DIR, "train_binary_class_clf",
+        overrides=["networks=clip_convnext_fused_bert",
+                   "networks.image_encoder.config.micro=true",
+                   "networks.image_encoder.convnext_tiny_clf_path="],
+    )
+    assert load_convnext_tower(base)[2].gelu == "exact"
