@@ -316,3 +316,55 @@ def test_fused_blocks_encode_config_knob(tmp_path):
     fused_feats = np.load(os.path.join(str(tmp_path / "fused"), rel)).ravel()
 
     np.testing.assert_allclose(fused_feats, fp_feats, atol=2e-3, rtol=2e-3)
+
+
+def test_fused_tanh_preset_encode_end_to_end(tmp_path):
+    """The `networks=clip_convnext_fused_tanh_bert` preset (the fastest
+    measured tower) drives the REAL fused kernel with the tanh GELU through
+    the product encode pipeline: features stay within the approximation
+    budget of the exact-GELU fp tower and are not byte-identical (the tanh
+    math really ran)."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from mmgclip_tpu.config import compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+    from mmgclip_tpu.ops import fused_block
+
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(rng.integers(0, 256, (32, 32), dtype=np.uint8), mode="L").save(p)
+    df = pd.DataFrame({"image_path": [p]})
+    rel = os.path.join(*p.strip(os.sep).split(os.sep)[-4:]).replace(".png", ".npy")
+
+    def run(preset_overrides, out):
+        cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf",
+                      overrides=preset_overrides)
+        if "config" not in cfg.networks.image_encoder:
+            from mmgclip_tpu.config import Config
+            cfg.networks.image_encoder.config = Config({})
+        cfg.networks.image_encoder.config.micro = True
+        cfg.networks.image_encoder.config.in_channels = 1
+        cfg.networks.image_encoder.config.dtype = "float32"
+        cfg.networks.image_encoder.convnext_tiny_clf_path = ""
+        cfg.base.features_export_dir = str(tmp_path / out)
+        extractor = ImageFeatureExtractor(config=cfg, dataset=df, batch_size=2)
+        extractor.extract()
+        return extractor, np.load(os.path.join(str(tmp_path / out), rel)).ravel()
+
+    _, exact = run([], "exact")
+
+    old = fused_block.FORCE_INTERPRET
+    fused_block.FORCE_INTERPRET = True  # the REAL kernel on this CPU backend
+    try:
+        extractor, tanh_feats = run(["networks=clip_convnext_fused_tanh_bert"], "tanh")
+    finally:
+        fused_block.FORCE_INTERPRET = old
+    assert extractor.cn_config.use_fused_blocks is True
+    assert extractor.cn_config.gelu == "tanh"
+
+    cos = float(np.dot(exact, tanh_feats)
+                / (np.linalg.norm(exact) * np.linalg.norm(tanh_feats)))
+    assert cos > 0.999
+    assert not np.array_equal(exact, tanh_feats)
