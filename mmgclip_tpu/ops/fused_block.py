@@ -26,8 +26,14 @@ Structure per program (one image):
 `fused_convnext_block` is differentiable: forward runs the kernel, backward
 re-derives gradients through the mathematically identical lax path (the
 image tower is frozen in every shipped training config, so the bwd path is
-a correctness safety net, not a hot path).  Falls back to the lax path on
-non-TPU backends and for shapes whose working set cannot fit VMEM.
+a correctness safety net, not a hot path).  Images whose whole-image
+working set exceeds VMEM — the reference encodes mammograms at NATIVE
+resolution (mmgclip/networks/image_features.py:28, ToTensor only, no
+resize), so large shape buckets are the product norm — run the ROW-BANDED
+grid instead (`_kernel_banded`): one program per [band_h, W, C] output
+band, halo assembled in VMEM from prev/cur/next BlockSpec blocks.  Only
+when no band divisor fits either does the op fall back to the lax path
+(as it always does on non-TPU backends).
 """
 
 from __future__ import annotations
@@ -104,37 +110,34 @@ def _quantize_chunk(y):
     return q, scale
 
 
-def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, *rest,
-            tile_h: int, eps: float, quant: bool, gelu_tanh: bool = False):
-    """x_ref/o_ref: [1, H, W, C]; xpad_ref: [H+6, W+6, C] VMEM scratch.
-
-    ``quant=False`` rest: (w1, b1, w2, b2, g, o, xpad);
-    ``quant=True``  rest: (w1q, ws1, b1, w2q, ws2, b2, g, o, xpad) with
-    int8 per-output-channel-scaled weights and int32 MXU accumulation —
-    the v5e runs int8 x int8 at 2x the bf16 MXU rate, and with every
-    quantize/dequantize VMEM-resident the unfused int8 path's extra HBM
-    round trips (the reason it measured as a slowdown) disappear."""
-    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+def _split_rest(rest, quant: bool):
+    """Unpack the trailing (weights..., o_ref, xpad_ref) refs shared by the
+    whole-image and banded kernels.  ``quant=False`` rest:
+    (w1, b1, w2, b2, g, o, xpad); ``quant=True`` rest:
+    (w1q, ws1, b1, w2q, ws2, b2, g, o, xpad) with int8 per-output-channel-
+    scaled weights and int32 MXU accumulation — the v5e runs int8 x int8 at
+    2x the bf16 MXU rate, and with every quantize/dequantize VMEM-resident
+    the unfused int8 path's extra HBM round trips (the reason it measured
+    as a slowdown) disappear."""
     if quant:
         (w1_ref, ws1_ref, b1_ref, w2_ref, ws2_ref, b2_ref,
          g_ref, o_ref, xpad_ref) = rest
-        ws1 = ws1_ref[0].astype(jnp.float32)
-        ws2 = ws2_ref[0].astype(jnp.float32)
+        scales = (ws1_ref[0].astype(jnp.float32), ws2_ref[0].astype(jnp.float32))
     else:
         w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref, xpad_ref = rest
+        scales = (None, None)
+    return w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref, xpad_ref, scales
 
-    # materialize the SAME-padding halo on-chip
-    xpad_ref[:] = jnp.zeros_like(xpad_ref)
-    xpad_ref[HALO : HALO + h, HALO : HALO + w, :] = x_ref[0]
 
-    w1 = w1_ref[:]
-    w2 = w2_ref[:]
-    dw_bias = dwb_ref[0].astype(jnp.float32)
-    n_scale = ns_ref[0].astype(jnp.float32)
-    n_bias = nb_ref[0].astype(jnp.float32)
-    b1 = b1_ref[0].astype(jnp.float32)
-    b2 = b2_ref[0].astype(jnp.float32)
-    gamma = g_ref[0].astype(jnp.float32)
+def _chunk_loop(xpad_ref, o_ref, dwk_ref, consts, *, rows: int, tile_h: int,
+                w: int, c: int, eps: float, quant: bool, gelu_tanh: bool):
+    """Produce `rows` output rows in `tile_h`-row chunks.
+
+    Output row r (written to o_ref[0, r]) is computed from xpad rows
+    [r, r+7) — xpad row r+HALO holds image row r, so the taps see the
+    SAME-padding window and the residual is read from xpad's interior
+    (identical values to the input block, one buffer instead of two)."""
+    (dw_bias, n_scale, n_bias, w1, b1, w2, b2, gamma, ws1, ws2) = consts
 
     def chunk(i, _):
         r0 = pl.multiple_of(i * tile_h, tile_h)
@@ -171,11 +174,77 @@ def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, *rest,
                           preferred_element_type=jnp.float32) + b2
         out = out.reshape(tile_h, w, c) * gamma
         # --- layer scale + residual, single HBM write
-        residual = x_ref[0, pl.ds(r0, tile_h), :, :].astype(jnp.float32)
-        o_ref[0, pl.ds(r0, tile_h), :, :] = (residual + out).astype(o_ref.dtype)
+        residual = xpad_ref[pl.ds(r0 + HALO, tile_h), HALO : HALO + w, :]
+        o_ref[0, pl.ds(r0, tile_h), :, :] = (
+            residual.astype(jnp.float32) + out).astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, h // tile_h, chunk, 0)
+    jax.lax.fori_loop(0, rows // tile_h, chunk, 0)
+
+
+def _load_consts(dwb_ref, ns_ref, nb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 g_ref, scales):
+    return (dwb_ref[0].astype(jnp.float32),
+            ns_ref[0].astype(jnp.float32),
+            nb_ref[0].astype(jnp.float32),
+            w1_ref[:], b1_ref[0].astype(jnp.float32),
+            w2_ref[:], b2_ref[0].astype(jnp.float32),
+            g_ref[0].astype(jnp.float32), scales[0], scales[1])
+
+
+def _kernel(x_ref, dwk_ref, dwb_ref, ns_ref, nb_ref, *rest,
+            tile_h: int, eps: float, quant: bool, gelu_tanh: bool = False):
+    """Whole-image program: x_ref/o_ref [1, H, W, C] VMEM blocks;
+    xpad_ref [H+6, W+6, C] VMEM scratch (see _split_rest for `rest`)."""
+    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    (w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref, xpad_ref,
+     scales) = _split_rest(rest, quant)
+
+    # materialize the SAME-padding halo on-chip
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    xpad_ref[HALO : HALO + h, HALO : HALO + w, :] = x_ref[0]
+
+    consts = _load_consts(dwb_ref, ns_ref, nb_ref, w1_ref, b1_ref, w2_ref,
+                          b2_ref, g_ref, scales)
+    _chunk_loop(xpad_ref, o_ref, dwk_ref, consts, rows=h, tile_h=tile_h,
+                w=w, c=c, eps=eps, quant=quant, gelu_tanh=gelu_tanh)
+
+
+def _kernel_banded(xm_ref, xc_ref, xn_ref, dwk_ref, dwb_ref, ns_ref, nb_ref,
+                   *rest, n_bands: int, tile_h: int, eps: float, quant: bool,
+                   gelu_tanh: bool = False):
+    """Row-banded program for images whose whole-image working set exceeds
+    VMEM: grid (n, n_bands), each program produces one [band_h, W, C]
+    output band.  The input arrives as THREE BlockSpec-fed band blocks —
+    previous / current / next, with edge bands clamped by the index map —
+    so Mosaic's automatic pipeline double-buffers the HBM reads; the 7x7
+    halo (3 rows each side) is assembled in the [band_h+6, W+6, C] scratch
+    from the neighbor blocks.  Clamped edge blocks are simply not copied
+    (the scratch is pre-zeroed = SAME padding).  Extra HBM cost vs the
+    whole-image kernel: x is read ~3x instead of 1x — still ~8x less
+    traffic than the unfused path's ~25 element-passes, and the large
+    early stages this serves are VPU-bound, not HBM-bound."""
+    bh, w, c = xc_ref.shape[1], xc_ref.shape[2], xc_ref.shape[3]
+    (w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref, xpad_ref,
+     scales) = _split_rest(rest, quant)
+    b = pl.program_id(1)
+
+    xpad_ref[:] = jnp.zeros_like(xpad_ref)
+    xpad_ref[HALO : HALO + bh, HALO : HALO + w, :] = xc_ref[0]
+
+    @pl.when(b > 0)
+    def _top_halo():
+        xpad_ref[0:HALO, HALO : HALO + w, :] = xm_ref[0, bh - HALO : bh, :, :]
+
+    @pl.when(b < n_bands - 1)
+    def _bottom_halo():
+        xpad_ref[HALO + bh : bh + 2 * HALO, HALO : HALO + w, :] = \
+            xn_ref[0, 0:HALO, :, :]
+
+    consts = _load_consts(dwb_ref, ns_ref, nb_ref, w1_ref, b1_ref, w2_ref,
+                          b2_ref, g_ref, scales)
+    _chunk_loop(xpad_ref, o_ref, dwk_ref, consts, rows=bh, tile_h=tile_h,
+                w=w, c=c, eps=eps, quant=quant, gelu_tanh=gelu_tanh)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret", "gelu_tanh"))
@@ -245,6 +314,63 @@ def _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, tile_h, eps,
       w1q, ws1, row(b1), w2q, ws2, row(b2), row(g))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "band_h", "tile_h", "eps", "interpret", "gelu_tanh", "quant"))
+def _fused_call_banded(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, band_h,
+                       tile_h, eps, interpret, gelu_tanh=False, quant=False):
+    """Row-banded pallas_call: grid (n, h // band_h); the input is passed
+    THREE times with prev/cur/next index maps (edge bands clamp to
+    themselves and the kernel skips the copy) so the halo never touches
+    HBM twice and Mosaic keeps its automatic input double-buffering."""
+    n, h, w, c = x.shape
+    n_bands = h // band_h
+    row = lambda v: v.reshape(1, -1)  # noqa: E731
+
+    def vspec(shape):
+        return pl.BlockSpec(shape, lambda i, b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def band_spec(index_fn):
+        return pl.BlockSpec((1, band_h, w, c), index_fn,
+                            memory_space=pltpu.VMEM)
+
+    x_prev = band_spec(lambda i, b: (i, jnp.maximum(b - 1, 0), 0, 0))
+    x_cur = band_spec(lambda i, b: (i, b, 0, 0))
+    x_next = band_spec(lambda i, b: (i, jnp.minimum(b + 1, n_bands - 1), 0, 0))
+
+    if quant:
+        from .quant import int8_quantize
+
+        w1q, ws1 = int8_quantize(w1, axis=0)
+        w2q, ws2 = int8_quantize(w2, axis=0)
+        weight_specs = [vspec((c, 4 * c)), vspec((1, 4 * c)), vspec((1, 4 * c)),
+                        vspec((4 * c, c)), vspec((1, c)), vspec((1, c))]
+        weight_args = (w1q, ws1, row(b1), w2q, ws2, row(b2))
+    else:
+        weight_specs = [vspec((c, 4 * c)), vspec((1, 4 * c)),
+                        vspec((4 * c, c)), vspec((1, c))]
+        weight_args = (w1, row(b1), w2, row(b2))
+
+    return pl.pallas_call(
+        functools.partial(_kernel_banded, n_bands=n_bands, tile_h=tile_h,
+                          eps=eps, quant=quant, gelu_tanh=gelu_tanh),
+        grid=(n, n_bands),
+        in_specs=[x_prev, x_cur, x_next,
+                  vspec((K, K, 1, c)),
+                  vspec((1, c)), vspec((1, c)), vspec((1, c)),
+                  *weight_specs,
+                  vspec((1, c))],
+        out_specs=pl.BlockSpec((1, band_h, w, c), lambda i, b: (i, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((band_h + 2 * HALO, w + 2 * HALO, c),
+                                   x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(x, x, x, dwk, row(dwb), row(ns), row(nb), *weight_args, row(g))
+
+
 def _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, eps=1e-6,
                gelu_tanh=False):
     """The reference-math lax path (models/convnext.py block body)."""
@@ -292,6 +418,27 @@ def _vmem_working_set(h, w, c, dtype_bytes, tile_h):
     return io_blocks + scratch + weights + chunk
 
 
+def _banded_working_set(band_h, w, c, dtype_bytes, tile_h):
+    # 3 input band blocks (prev/cur/next) + 1 output, all double-buffered
+    io_blocks = 2 * 4 * band_h * w * c * dtype_bytes
+    scratch = (band_h + 2 * HALO) * (w + 2 * HALO) * c * dtype_bytes
+    weights = (49 * c + 8 * c * c + 7 * c) * dtype_bytes
+    chunk = tile_h * w * (4 * c + 2 * c) * 4
+    return io_blocks + scratch + weights + chunk
+
+
+def _pick_band_h(h, w, c, dtype_bytes):
+    """Largest divisor of `h` giving >= 2 bands of >= 2*HALO rows whose
+    banded working set fits the VMEM budget; None if no divisor does
+    (then the caller falls back to the lax path)."""
+    for band in sorted((d for d in range(2 * HALO, h // 2 + 1) if h % d == 0),
+                       reverse=True):
+        if _banded_working_set(band, w, c, dtype_bytes,
+                               _pick_tile_h(band, w, c)) < _VMEM_BUDGET:
+            return band
+    return None
+
+
 # tests flip this to drive the REAL kernel (interpret mode) through the
 # model path on the CPU backend, where the default gate would fall back
 FORCE_INTERPRET = False
@@ -311,16 +458,20 @@ def fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret=False
     interpret = interpret or FORCE_INTERPRET
     n, h, w, c = x.shape
     tile_h = _pick_tile_h(h, w, c)
-    usable = (
-        (interpret or jax.default_backend() == "tpu")
-        and _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET
-    )
-    if not usable:
-        return _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                          gelu_tanh=gelu_tanh)
-    return _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                       tile_h=tile_h, eps=1e-6, interpret=interpret,
-                       gelu_tanh=gelu_tanh)
+    backend_ok = interpret or jax.default_backend() == "tpu"
+    if backend_ok:
+        if _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET:
+            return _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                               tile_h=tile_h, eps=1e-6, interpret=interpret,
+                               gelu_tanh=gelu_tanh)
+        band_h = _pick_band_h(h, w, c, x.dtype.itemsize)
+        if band_h is not None:  # native-resolution images: row-banded grid
+            return _fused_call_banded(
+                x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, band_h=band_h,
+                tile_h=_pick_tile_h(band_h, w, c), eps=1e-6,
+                interpret=interpret, gelu_tanh=gelu_tanh, quant=False)
+    return _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                      gelu_tanh=gelu_tanh)
 
 
 def _fwd(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret, gelu_tanh):
@@ -354,16 +505,20 @@ def fused_convnext_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
     interpret = interpret or FORCE_INTERPRET
     n, h, w, c = x.shape
     tile_h = _pick_tile_h(h, w, c)
-    usable = (
-        (interpret or jax.default_backend() == "tpu")
-        and _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET
-    )
-    if not usable:
-        return _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                               gelu_tanh=gelu_tanh)
-    return _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                            tile_h=tile_h, eps=1e-6, interpret=interpret,
-                            gelu_tanh=gelu_tanh)
+    backend_ok = interpret or jax.default_backend() == "tpu"
+    if backend_ok:
+        if _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET:
+            return _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                                    tile_h=tile_h, eps=1e-6,
+                                    interpret=interpret, gelu_tanh=gelu_tanh)
+        band_h = _pick_band_h(h, w, c, x.dtype.itemsize)
+        if band_h is not None:
+            return _fused_call_banded(
+                x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, band_h=band_h,
+                tile_h=_pick_tile_h(band_h, w, c), eps=1e-6,
+                interpret=interpret, gelu_tanh=gelu_tanh, quant=True)
+    return _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                           gelu_tanh=gelu_tanh)
 
 
 def _fwd_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret, gelu_tanh):

@@ -311,3 +311,92 @@ def test_convnext_fused_bucketed_mask_stays_exact(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(feats_canvas), np.asarray(feats_exact), atol=2e-4, rtol=2e-4
     )
+
+
+# ---- row-banded kernel (native-resolution images: the reference encodes
+# mammograms with NO resize — mmgclip/networks/image_features.py:28 — so
+# shapes whose whole-image working set exceeds VMEM are the product norm)
+
+
+def test_banded_kernel_matches_lax_all_variants():
+    """_fused_call_banded == the lax path for bf16-exact, tanh and int8
+    math, across band sizes (edge bands exercise the halo clamping)."""
+    rng = np.random.default_rng(20)
+    c = 128
+    n, h, w = 2, 32, 16
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.float32)
+    p = _params(rng, c)
+    ref = _lax_block(x, *p.values())
+    for band in (8, 16):
+        out = fb._fused_call_banded(
+            x, *p.values(), band_h=band, tile_h=_pick_tile_h(band, w, c),
+            eps=1e-6, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+    ref_t = _lax_block(x, *p.values(), gelu_tanh=True)
+    out_t = fb._fused_call_banded(
+        x, *p.values(), band_h=16, tile_h=_pick_tile_h(16, w, c), eps=1e-6,
+        interpret=True, gelu_tanh=True)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
+                               atol=2e-5, rtol=2e-5)
+    ref8 = np.asarray(fb._lax_block_int8(x, *p.values())).ravel()
+    out8 = np.asarray(fb._fused_call_banded(
+        x, *p.values(), band_h=8, tile_h=_pick_tile_h(8, w, c), eps=1e-6,
+        interpret=True, quant=True)).ravel()
+    cos = float(out8 @ ref8 / (np.linalg.norm(out8) * np.linalg.norm(ref8)))
+    assert cos > 0.999  # per-chunk scales are finer than the per-tensor lax scale
+
+
+def test_public_gate_routes_large_shapes_to_banded(monkeypatch):
+    """When the whole-image working set exceeds the budget but a band fits,
+    fused_convnext_block must run the BANDED kernel (not fall back to lax)
+    and still equal the lax math."""
+    rng = np.random.default_rng(21)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(1, 24, 8, c)), jnp.float32)
+    p = _params(rng, c)
+    whole_ws = fb._vmem_working_set(24, 8, c, 4, _pick_tile_h(24, 8, c))
+    banded_ws = fb._banded_working_set(8, 8, c, 4, _pick_tile_h(8, 8, c))
+    assert banded_ws < whole_ws
+    monkeypatch.setattr(fb, "_VMEM_BUDGET", (whole_ws + banded_ws) // 2)
+
+    calls = {}
+    real = fb._fused_call_banded
+
+    def spy(*args, **kw):
+        calls["band_h"] = kw.get("band_h")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(fb, "_fused_call_banded", spy)
+    out = fused_convnext_block(x, *p.values(), True)
+    assert calls, "banded path did not fire"
+    assert 24 % calls["band_h"] == 0
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_lax_block(x, *p.values())),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_banded_gradient_via_lax_path(monkeypatch):
+    """The custom_vjp backward stays the lax math when the primal ran the
+    banded kernel."""
+    rng = np.random.default_rng(22)
+    c = 128
+    x = jnp.asarray(rng.normal(size=(1, 16, 8, c)), jnp.float32)
+    p = _params(rng, c)
+    whole_ws = fb._vmem_working_set(16, 8, c, 4, _pick_tile_h(16, 8, c))
+    monkeypatch.setattr(fb, "_VMEM_BUDGET", whole_ws)  # strict < fails -> banded
+    gx_f = jax.grad(lambda x: jnp.sum(
+        fused_convnext_block(x, *p.values(), True) ** 2))(x)
+    gx_l = jax.grad(lambda x: jnp.sum(_lax_block(x, *p.values()) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_l),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pick_band_h_properties():
+    # divisor, >= 2*HALO, fits the budget
+    band = fb._pick_band_h(128, 128, 96, 2)
+    assert band is not None and 128 % band == 0 and band >= 2 * fb.HALO
+    assert fb._banded_working_set(band, 128, 96, 2,
+                                  _pick_tile_h(band, 128, 96)) < fb._VMEM_BUDGET
+    # a prime row count has no usable divisor -> None (lax fallback)
+    assert fb._pick_band_h(127, 4096, 512, 4) is None
