@@ -216,56 +216,48 @@ def _convnext_layer_costs(size: int, in_ch: int = 1, dtype_bytes: int = 2,
         # tanh approximation (ConvNeXtConfig.gelu="tanh") — both per element
         # of the 4C-wide tensor
         vpu = hw * c * 98 + hw * c * 8 + hw * 4 * c * gelu_flops + hw * c * 2
+        def unfused_block_rows(s=s, hw=hw, c=c):
+            act_b = 1 if int8 else dt  # matmul-side activation bytes
+            w_b = 1 if int8 else dt
+            quant1 = hw * c * (dt + 1) if int8 else 0  # dynamic-quant pass, pw1 input
+            quant2 = hw * 4 * c * (dt + 1) if int8 else 0  # ... pw2 input
+            return [
+                (f"stage{s}_dwconv", 0, hw * c * 98, (2 * hw * c + 49 * c // batch) * dt, False),
+                (f"stage{s}_ln", 0, hw * c * 8, 2 * hw * c * dt, False),
+                (f"stage{s}_pw1", hw * c * 4 * c * 2, 0,
+                 quant1 + hw * c * act_b + hw * 4 * c * dt + 4 * c * c * w_b // batch, int8),
+                (f"stage{s}_gelu", 0, hw * 4 * c * gelu_flops, 2 * hw * 4 * c * dt, False),
+                (f"stage{s}_pw2", hw * 4 * c * c * 2, 0,
+                 quant2 + hw * 4 * c * act_b + hw * c * dt + 4 * c * c * w_b // batch, int8),
+                (f"stage{s}_residual", 0, hw * c * 2, 3 * hw * c * dt, False),
+            ]
+
         if fused:
             # price the kernel the gate actually picks at this size: the
             # whole-image kernel reads x once; the row-banded kernel (fires
             # when the whole-image working set exceeds VMEM — native-res
-            # images) reads x ~3x via the prev/cur/next band blocks
+            # images) reads x ~3x via the prev/cur/next band blocks; when
+            # no band divisor fits either, the op runs the unfused lax math
             from mmgclip_tpu.ops.fused_block import (
                 _VMEM_BUDGET, _pick_band_h, _pick_tile_h, _vmem_working_set)
 
             whole = _vmem_working_set(h, w, c, dt, _pick_tile_h(h, w, c)) < _VMEM_BUDGET
             banded = not whole and _pick_band_h(h, w, c, dt) is not None
             x_reads = 1 if whole else (3 if banded else None)
-            wbytes = (49 * c + 7 * c) * dt + 8 * c * c * (1 if int8 else dt)
-            if x_reads is None:  # no band divisor fits: the op runs lax
-                act_b = 1 if int8 else dt
-                w_b = 1 if int8 else dt
-                q1 = hw * c * (dt + 1) if int8 else 0
-                q2 = hw * 4 * c * (dt + 1) if int8 else 0
-                for name, mf, vf, bytes_, q8 in [
-                    (f"stage{s}_dwconv", 0, hw * c * 98, (2 * hw * c + 49 * c // batch) * dt, False),
-                    (f"stage{s}_ln", 0, hw * c * 8, 2 * hw * c * dt, False),
-                    (f"stage{s}_pw1", hw * c * 4 * c * 2, 0,
-                     q1 + hw * c * act_b + hw * 4 * c * dt + 4 * c * c * w_b // batch, int8),
-                    (f"stage{s}_gelu", 0, hw * 4 * c * gelu_flops, 2 * hw * 4 * c * dt, False),
-                    (f"stage{s}_pw2", hw * 4 * c * c * 2, 0,
-                     q2 + hw * 4 * c * act_b + hw * c * dt + 4 * c * c * w_b // batch, int8),
-                    (f"stage{s}_residual", 0, hw * c * 2, 3 * hw * c * dt, False),
-                ]:
-                    layers.append((name, mf * depth, vf * depth, bytes_ * depth, q8))
-                continue
-            layers.append((f"stage{s}_fused_mm", mm * depth, 0,
-                           ((x_reads + 1) * hw * c * dt + wbytes // batch) * depth, int8))
-            layers.append((f"stage{s}_fused_vpu", 0, vpu * depth, 0, False))
-            continue
-        act_b = 1 if int8 else dt  # matmul-side activation bytes
-        w_b = 1 if int8 else dt
-        quant1 = hw * c * (dt + 1) if int8 else 0  # dynamic-quant pass, pw1 input
-        quant2 = hw * 4 * c * (dt + 1) if int8 else 0  # ... pw2 input
-        per_block = [
-            (f"stage{s}_dwconv", 0, hw * c * 98, (2 * hw * c + 49 * c // batch) * dt, False),
-            (f"stage{s}_ln", 0, hw * c * 8, 2 * hw * c * dt, False),
-            (f"stage{s}_pw1", hw * c * 4 * c * 2, 0,
-             quant1 + hw * c * act_b + hw * 4 * c * dt + 4 * c * c * w_b // batch, int8),
-            (f"stage{s}_gelu", 0, hw * 4 * c * gelu_flops, 2 * hw * 4 * c * dt, False),
-            (f"stage{s}_pw2", hw * 4 * c * c * 2, 0,
-             quant2 + hw * 4 * c * act_b + hw * c * dt + 4 * c * c * w_b // batch, int8),
-            (f"stage{s}_residual", 0, hw * c * 2, 3 * hw * c * dt, False),
-        ]
+            if x_reads is None:
+                rows = unfused_block_rows()
+            else:
+                wbytes = (49 * c + 7 * c) * dt + 8 * c * c * (1 if int8 else dt)
+                rows = [
+                    (f"stage{s}_fused_mm", mm, 0,
+                     (x_reads + 1) * hw * c * dt + wbytes // batch, int8),
+                    (f"stage{s}_fused_vpu", 0, vpu, 0, False),
+                ]
+        else:
+            rows = unfused_block_rows()
         layers.extend(
             (name, mf * depth, vf * depth, bytes_ * depth, q8)
-            for name, mf, vf, bytes_, q8 in per_block
+            for name, mf, vf, bytes_, q8 in rows
         )
     return layers
 

@@ -161,3 +161,23 @@ def test_bench_text_smoke():
     assert detail["prompt_len_max"] <= detail["trimmed_seq"] <= detail["seq"]
     assert detail["trimmed_seq"] % 32 == 0
     assert result["value"] == max(detail["flash_trimmed"], detail["xla_trimmed"])
+
+
+def test_fused_projection_prices_banded_kernel_at_native_res():
+    """The fused cost model must price the kernel the gate actually picks:
+    whole-image (1 read of x) at 256, row-banded (~3 reads) at native-res
+    512 where the whole-image working set exceeds VMEM."""
+    import bench
+
+    def stage0_mm_bytes(size):
+        rows = bench._convnext_layer_costs(size, batch=128, fused=True)
+        (row,) = [r for r in rows if r[0] == "stage0_fused_mm"]
+        return row[3]
+
+    hw256, hw512 = (256 // 4) ** 2, (512 // 4) ** 2
+    c, dt, depth = 96, 2, 3
+    wamort = ((49 * c + 7 * c) * dt + 8 * c * c * dt) // 128 * depth
+    # 256: whole-image kernel -> 1 read + 1 write of x
+    assert stage0_mm_bytes(256) == 2 * hw256 * c * dt * depth + wamort
+    # 512: banded kernel -> 3 reads + 1 write of x
+    assert stage0_mm_bytes(512) == 4 * hw512 * c * dt * depth + wamort
