@@ -391,7 +391,9 @@ def bench_encode() -> dict:
     headline_encode = encode_fused if encode_fused is not None else encode
     e2e_tower = "fused" if encode_fused is not None else "unfused"
 
-    # measured FLOPs for THIS program from XLA cost analysis
+    # measured FLOPs for the UNFUSED reference program from XLA cost
+    # analysis — the basis for mfu and every v5e projection (the fused
+    # variants run the same matmul FLOPs; detail.flops_basis discloses it)
     try:
         cost = encode.lower(device_pixels).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -409,44 +411,59 @@ def bench_encode() -> dict:
     # ---- end-to-end, DOUBLE-BUFFERED (VERDICT r2 #1c): the transfer of
     # batch N+1 is issued (async device_put) before batch N's compute is
     # dispatched, so transfer rides the DMA path while the MXU works
-    def e2e_window(double_buffered: bool) -> float:
+    def e2e_window(double_buffered: bool, encode_fn) -> float:
         start = time.perf_counter()
         if double_buffered:
             dev = jax.device_put(host_bufs[0])
             for i in range(iters):
                 nxt = jax.device_put(host_bufs[(i + 1) % n_buf]) if i + 1 < iters else None
-                out = headline_encode(dev)
+                out = encode_fn(dev)
                 dev = nxt
         else:  # r2-style serial feed, kept for the overlap comparison
             for i in range(iters):
-                out = headline_encode(jnp.asarray(host_bufs[i % n_buf]))
+                out = encode_fn(jnp.asarray(host_bufs[i % n_buf]))
         fence(out)
         return batch * iters / (time.perf_counter() - start)
 
-    # two warm windows: the first double-buffered passes also pay device
-    # allocation for the rotating transfer buffers
-    e2e_window(True)
-    e2e_window(False)
-    # ADAPTIVE feed: probe both strategies, then spend the measured windows
-    # on the faster one.  Double-buffering wins when the backend overlaps
-    # DMA with compute (~2x); in the tunnel's serialized slow state the
-    # per-dispatch RPC dominates and the serial feed is slightly faster —
-    # a real deployment would make the same choice at startup.
-    db_probe = [e2e_window(True) for _ in range(2)]
-    serial_probe = [e2e_window(False) for _ in range(2)]
-    double_buffered = max(db_probe) >= max(serial_probe)
-    serial_rates = serial_probe
+    def measure_e2e(encode_fn):
+        # two warm windows: the first double-buffered passes also pay device
+        # allocation for the rotating transfer buffers
+        e2e_window(True, encode_fn)
+        e2e_window(False, encode_fn)
+        # ADAPTIVE feed: probe both strategies, then spend the measured
+        # windows on the faster one.  Double-buffering wins when the backend
+        # overlaps DMA with compute (~2x); in the tunnel's serialized slow
+        # state the per-dispatch RPC dominates and the serial feed is
+        # slightly faster — a real deployment makes the same choice at
+        # startup.
+        db_probe = [e2e_window(True, encode_fn) for _ in range(2)]
+        serial_probe = [e2e_window(False, encode_fn) for _ in range(2)]
+        double_buffered = max(db_probe) >= max(serial_probe)
+        # CROSS-RUN median (VERDICT r3 weak #6): the tunnel flips between
+        # bimodal throughput states run to run, so one pass's median is a
+        # lottery.  Measure 2 full passes; when their medians disagree
+        # >1.5x, spend a third; the headline is the median of pass medians.
+        all_passes = [[e2e_window(double_buffered, encode_fn) for _ in range(windows)]
+                      for _ in range(2)]
+        if max(np.median(p) for p in all_passes) > 1.5 * min(
+            np.median(p) for p in all_passes
+        ):
+            all_passes.append(
+                [e2e_window(double_buffered, encode_fn) for _ in range(windows)])
+        return db_probe, serial_probe, double_buffered, all_passes
 
-    # CROSS-RUN median (VERDICT r3 weak #6): the tunnel flips between
-    # bimodal throughput states run to run, so one pass's median is a
-    # lottery.  Measure 2 full passes; when their medians disagree >1.5x,
-    # spend a third; the headline is the median of the pass medians.
-    all_passes = [[e2e_window(double_buffered) for _ in range(windows)]
-                  for _ in range(2)]
-    if max(np.median(p) for p in all_passes) > 1.5 * min(
-        np.median(p) for p in all_passes
-    ):
-        all_passes.append([e2e_window(double_buffered) for _ in range(windows)])
+    try:
+        db_probe, serial_probe, double_buffered, all_passes = measure_e2e(headline_encode)
+    except Exception as exc:
+        # a fused program that compiled but fails at RUNTIME (transient
+        # tunnel/Mosaic state) must not kill the headline — fall back to
+        # the unfused tower and re-measure (ONE-JSON-line invariant)
+        if e2e_tower != "fused":
+            raise
+        fused_detail["fused_e2e_error"] = f"{type(exc).__name__}: {exc}"[:300]
+        e2e_tower, encode_fused, headline_encode = "unfused", None, encode
+        db_probe, serial_probe, double_buffered, all_passes = measure_e2e(encode)
+    serial_rates = serial_probe
     pass_medians = [float(np.median(p)) for p in all_passes]
     window_rates = [r for p in all_passes for r in p]
 
@@ -505,17 +522,10 @@ def bench_encode() -> dict:
         roofline = achieved_tflops
     mfu = achieved_tflops / max(roofline, 1e-9)
 
-    # ---- int8 pointwise-conv variant (VERDICT r2 #5): same params, the
-    # 1x1 convs quantize dynamically to int8 (ops/quant.py)
-    int8_module = ConvNeXt(dc_replace(config, quant="int8"))
-
-    @jax.jit
-    def encode_int8(pixels_u8):
-        x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
-        return int8_module.apply(params, x)
-
+    # ---- variant A/B harness: each variant is a config change on the SAME
+    # params, warmed, feature-deviation-checked against the unfused tower,
+    # then timed compute-only with the same fenced loop
     ref_feats = encode(device_pixels)
-    int8_feats = encode_int8(device_pixels)  # warmup / compile
 
     @jax.jit
     def feature_deviation(a, b):
@@ -526,91 +536,64 @@ def bench_encode() -> dict:
         )
         return jnp.stack([rel, jnp.min(cos)])
 
-    dev_stats = np.asarray(feature_deviation(ref_feats, int8_feats))
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = encode_int8(device_pixels)
-    fence(out)
-    int8_compute_rate = batch * iters / (time.perf_counter() - start)
+    def make_encode(module):
+        @jax.jit
+        def enc(pixels_u8):
+            x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
+            return module.apply(params, x)
+        return enc
 
-    # ---- fused-block variant (VERDICT r3 next #1): every residual block as
-    # ONE VMEM-resident Pallas kernel (ops/fused_block.py) — the A/B that
-    # shows whether de-HBM-ing the block intermediates pays on this chip.
-    # The module was built and compiled BEFORE the e2e loop (it is the
-    # headline tower when it lowers); here it is timed compute-only.
-    fused_compute_rate = None
-    if encode_fused is not None:
-        fused_feats = encode_fused(device_pixels)
-        fused_stats = np.asarray(feature_deviation(ref_feats, fused_feats))
+    def measure_variant(encode_fn):
+        feats = encode_fn(device_pixels)  # warmup / compile
+        stats = np.asarray(feature_deviation(ref_feats, feats))
         start = time.perf_counter()
         for _ in range(iters):
-            out = encode_fused(device_pixels)
+            out = encode_fn(device_pixels)
         fence(out)
-        fused_compute_rate = batch * iters / (time.perf_counter() - start)
-        fused_detail.update({
-            "fused_compute_only_img_per_sec": round(fused_compute_rate, 1),
-            "fused_vs_unfused_compute": round(fused_compute_rate / max(compute_rate, 1e-9), 3),
-            "fused_max_feature_rel_err": round(float(fused_stats[0]), 5),
-            "fused_min_feature_cosine": round(float(fused_stats[1]), 5),
-        })
+        return batch * iters / (time.perf_counter() - start), stats
+
+    def variant_keys(prefix, rate, stats):
+        return {
+            f"{prefix}_compute_only_img_per_sec": round(rate, 1),
+            f"{prefix}_vs_unfused_compute": round(rate / max(compute_rate, 1e-9), 3),
+            f"{prefix}_max_feature_rel_err": round(float(stats[0]), 5),
+            f"{prefix}_min_feature_cosine": round(float(stats[1]), 5),
+        }
+
+    # int8 pointwise-conv variant (VERDICT r2 #5): the 1x1 convs quantize
+    # dynamically to int8 (ops/quant.py); keys pinned by tests/test_bench.py
+    int8_compute_rate, dev_stats = measure_variant(
+        make_encode(ConvNeXt(dc_replace(config, quant="int8"))))
+
+    # fused-block variant (VERDICT r3 next #1): every residual block as ONE
+    # VMEM-resident Pallas kernel (ops/fused_block.py).  The module was
+    # built and compiled BEFORE the e2e loop (it is the headline tower when
+    # it lowers); here it is timed compute-only.
+    fused_compute_rate = None
+    if encode_fused is not None:
+        try:
+            fused_compute_rate, fused_stats = measure_variant(encode_fused)
+            fused_detail.update(variant_keys("fused", fused_compute_rate, fused_stats))
+        except Exception as exc:  # transient runtime/fetch failure: record,
+            fused_detail["fused_error"] = f"{type(exc).__name__}: {exc}"[:300]
+            fused_compute_rate = None  # keep the ONE-JSON-line invariant
     if bench_fused:
-        # fused + int8: in-kernel int8 pointwise matmuls (per-chunk
-        # activation scales in VMEM) — the combination the per-layer v5e
-        # roofline projects highest (fused removes the HBM bound, int8
-        # doubles the remaining MXU rate)
-        fused_q_module = ConvNeXt(
-            dc_replace(config, use_fused_blocks=True, quant="int8"))
-
-        @jax.jit
-        def encode_fused_int8(pixels_u8):
-            x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
-            return fused_q_module.apply(params, x)
-
-        try:
-            fq_feats = encode_fused_int8(device_pixels)  # warmup / compile
-            fq_stats = np.asarray(feature_deviation(ref_feats, fq_feats))
-            start = time.perf_counter()
-            for _ in range(iters):
-                out = encode_fused_int8(device_pixels)
-            fence(out)
-            fq_rate = batch * iters / (time.perf_counter() - start)
-            fused_detail.update({
-                "fused_int8_compute_only_img_per_sec": round(fq_rate, 1),
-                "fused_int8_vs_unfused_compute": round(fq_rate / max(compute_rate, 1e-9), 3),
-                "fused_int8_max_feature_rel_err": round(float(fq_stats[0]), 5),
-                "fused_int8_min_feature_cosine": round(float(fq_stats[1]), 5),
-            })
-        except Exception as exc:  # record a lowering failure, don't hide it
-            fused_detail["fused_int8_error"] = f"{type(exc).__name__}: {exc}"[:300]
-
-        # fused + tanh GELU (ConvNeXtConfig.gelu="tanh"): once fused,
-        # stages 0/1 are VPU-bound and the 4C-wide exact-erf GELU is the
-        # largest elementwise pass — the tanh form drops the A&S poly
-        # (~3e-4 max abs error, an order below bf16 resolution)
-        fused_t_module = ConvNeXt(
-            dc_replace(config, use_fused_blocks=True, gelu="tanh"))
-
-        @jax.jit
-        def encode_fused_tanh(pixels_u8):
-            x = intensity_transform(pixels_u8, out_dtype=dtype)[..., None]
-            return fused_t_module.apply(params, x)
-
-        try:
-            ft_feats = encode_fused_tanh(device_pixels)  # warmup / compile
-            ft_stats = np.asarray(feature_deviation(ref_feats, ft_feats))
-            start = time.perf_counter()
-            for _ in range(iters):
-                out = encode_fused_tanh(device_pixels)
-            fence(out)
-            ft_rate = batch * iters / (time.perf_counter() - start)
-            fused_detail.update({
-                "fused_tanh_compute_only_img_per_sec": round(ft_rate, 1),
-                "fused_tanh_vs_unfused_compute": round(ft_rate / max(compute_rate, 1e-9), 3),
-                "fused_tanh_max_feature_rel_err": round(float(ft_stats[0]), 5),
-                "fused_tanh_min_feature_cosine": round(float(ft_stats[1]), 5),
-            })
-        except Exception as exc:  # record a lowering failure, don't hide it
-            fused_detail["fused_tanh_error"] = f"{type(exc).__name__}: {exc}"[:300]
+        for prefix, kwargs in (
+            # fused + int8: in-kernel int8 pointwise matmuls (per-chunk
+            # activation scales in VMEM) — fused removes the HBM bound,
+            # int8 doubles the remaining MXU rate
+            ("fused_int8", dict(use_fused_blocks=True, quant="int8")),
+            # fused + tanh GELU: once fused, stages 0/1 are VPU-bound and
+            # the 4C-wide exact-erf GELU is the largest elementwise pass —
+            # the tanh form drops the A&S poly (~3e-4 max abs error)
+            ("fused_tanh", dict(use_fused_blocks=True, gelu="tanh")),
+        ):
+            try:
+                rate, stats = measure_variant(
+                    make_encode(ConvNeXt(dc_replace(config, **kwargs))))
+                fused_detail.update(variant_keys(prefix, rate, stats))
+            except Exception as exc:  # record a lowering failure, don't hide it
+                fused_detail[f"{prefix}_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # ---- binding-resource accounting (VERDICT r2 #1b): which resource
     # bounds the pipelined loop, and how close we run to it.  The binding
@@ -681,6 +664,11 @@ def bench_encode() -> dict:
             "overlap_efficiency": round(overlap_efficiency, 3),
             "flops_per_image_g": round(flops_per_image / 1e9, 3),
             "analytic_flops_per_image_g": round(analytic_flops / 1e9, 3),
+            "flops_basis": (
+                "flops/achieved-TFLOPs/mfu come from the UNFUSED reference "
+                "program (XLA cost analysis x compute_only rate); the fused "
+                "variants run the same matmul FLOPs with less HBM traffic"
+            ),
             "achieved_tflops_compute_only": round(achieved_tflops, 2),
             "matmul_roofline_tflops": round(roofline, 2),
             "mfu_vs_matmul_roofline": round(mfu, 4),
@@ -698,6 +686,7 @@ def bench_encode() -> dict:
             "v5e_fused_int8_projected_img_per_sec": round(v5e_projected_fused_int8, 0),
             "v5e_fused_tanh_sol_img_per_sec": round(v5e_sol_fused_tanh, 0),
             "v5e_fused_tanh_projected_img_per_sec": round(v5e_projected_fused_tanh, 0),
+            "v5e_fused_int8_tanh_sol_img_per_sec": round(v5e_sol_fit, 0),
             "v5e_fused_int8_tanh_projected_img_per_sec": round(v5e_projected_fit, 0),
             "v5e_per_stage": stage_summary,
             "v5e_fused_per_stage": fused_summary,

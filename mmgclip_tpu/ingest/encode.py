@@ -81,7 +81,12 @@ def load_convnext_tower(config, seed: int = 0):
         # BOTH the fused kernel and the lax path (~3e-4 max abs error, an
         # order below bf16 resolution) — stages 0/1 are VPU-bound once
         # fused, and the 4C-wide GELU is the largest elementwise pass
-        cn_config = replace(cn_config, gelu=str(overrides["gelu"]))
+        gelu = str(overrides["gelu"])
+        if gelu not in ("exact", "tanh"):
+            raise ValueError(
+                "networks.image_encoder.config.gelu must be 'exact' or "
+                f"'tanh', got {gelu!r}")
+        cn_config = replace(cn_config, gelu=gelu)
     module, params = init_convnext(cn_config, seed=seed, image_size=64)
     if path and os.path.isfile(path) and path.endswith(".npz"):
         from flax import serialization

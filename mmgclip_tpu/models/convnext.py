@@ -120,6 +120,11 @@ class ConvNeXtStage(nn.Module):
         use_pallas = self.use_pallas_dwconv
         use_fused = self.use_fused_blocks
         quant = self.quant
+        if self.gelu not in ("exact", "tanh"):
+            # fail loudly: a typo'd knob ("Tanh", "approx") silently running
+            # the exact path would be undetectable except by speed
+            raise ValueError(
+                f"ConvNeXtConfig.gelu must be 'exact' or 'tanh', got {self.gelu!r}")
         gelu_tanh = self.gelu == "tanh"
 
         def block(x, p):

@@ -455,23 +455,33 @@ def fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret=False
     keeps byte-level parity with whatever math the kernel runs).
     Differentiable via the lax path (frozen-tower configs never take the
     backward)."""
+    return _route(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                  interpret=interpret, gelu_tanh=gelu_tanh, quant=False)
+
+
+def _route(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, interpret, gelu_tanh,
+           quant):
+    """Shared three-way gate: whole-image kernel when the working set fits
+    VMEM, row-banded kernel when a band divisor fits, lax math otherwise
+    (and always off-TPU).  `quant` selects the int8 variants throughout."""
     interpret = interpret or FORCE_INTERPRET
     n, h, w, c = x.shape
     tile_h = _pick_tile_h(h, w, c)
     backend_ok = interpret or jax.default_backend() == "tpu"
     if backend_ok:
         if _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET:
-            return _fused_call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                               tile_h=tile_h, eps=1e-6, interpret=interpret,
-                               gelu_tanh=gelu_tanh)
+            call = _fused_call_int8 if quant else _fused_call
+            return call(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                        tile_h=tile_h, eps=1e-6, interpret=interpret,
+                        gelu_tanh=gelu_tanh)
         band_h = _pick_band_h(h, w, c, x.dtype.itemsize)
         if band_h is not None:  # native-resolution images: row-banded grid
             return _fused_call_banded(
                 x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, band_h=band_h,
                 tile_h=_pick_tile_h(band_h, w, c), eps=1e-6,
-                interpret=interpret, gelu_tanh=gelu_tanh, quant=False)
-    return _lax_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                      gelu_tanh=gelu_tanh)
+                interpret=interpret, gelu_tanh=gelu_tanh, quant=quant)
+    lax = _lax_block_int8 if quant else _lax_block
+    return lax(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, gelu_tanh=gelu_tanh)
 
 
 def _fwd(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret, gelu_tanh):
@@ -502,23 +512,8 @@ def fused_convnext_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
     a finer partition than the unfused path's per-tensor scale.  Backward
     differentiates the unfused int8 math (frozen-tower safety net, as for
     the bf16 kernel)."""
-    interpret = interpret or FORCE_INTERPRET
-    n, h, w, c = x.shape
-    tile_h = _pick_tile_h(h, w, c)
-    backend_ok = interpret or jax.default_backend() == "tpu"
-    if backend_ok:
-        if _vmem_working_set(h, w, c, x.dtype.itemsize, tile_h) < _VMEM_BUDGET:
-            return _fused_call_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                                    tile_h=tile_h, eps=1e-6,
-                                    interpret=interpret, gelu_tanh=gelu_tanh)
-        band_h = _pick_band_h(h, w, c, x.dtype.itemsize)
-        if band_h is not None:
-            return _fused_call_banded(
-                x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, band_h=band_h,
-                tile_h=_pick_tile_h(band_h, w, c), eps=1e-6,
-                interpret=interpret, gelu_tanh=gelu_tanh, quant=True)
-    return _lax_block_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
-                           gelu_tanh=gelu_tanh)
+    return _route(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g,
+                  interpret=interpret, gelu_tanh=gelu_tanh, quant=True)
 
 
 def _fwd_int8(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret, gelu_tanh):

@@ -128,3 +128,33 @@ def test_fused_tanh_network_preset_reaches_tower_config():
                    "networks.image_encoder.convnext_tiny_clf_path="],
     )
     assert load_convnext_tower(base)[2].gelu == "exact"
+
+
+def test_gelu_knob_validates_loudly():
+    """A typo'd gelu value must raise, not silently run the exact path."""
+    import numpy as np
+    import pytest
+
+    from mmgclip_tpu.config import Config
+    from mmgclip_tpu.ingest.encode import load_convnext_tower
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext
+
+    cfg = compose(
+        CONFIG_DIR, "train_binary_class_clf",
+        overrides=["networks=clip_convnext_fused_tanh_bert",
+                   "networks.image_encoder.config.micro=true",
+                   "networks.image_encoder.convnext_tiny_clf_path=",
+                   "networks.image_encoder.config.gelu=Tanh"],
+    )
+    with pytest.raises(ValueError, match="gelu"):
+        load_convnext_tower(cfg)
+
+    mcfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+                          in_channels=1, gelu="approx")
+    module, params = init_convnext(
+        ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64), in_channels=1),
+        seed=0, image_size=16)
+    import jax.numpy as jnp
+    x = jnp.asarray(np.zeros((1, 16, 16, 1), np.float32))
+    with pytest.raises(ValueError, match="gelu"):
+        ConvNeXt(mcfg).apply(params, x)
