@@ -587,6 +587,10 @@ def bench_encode() -> dict:
             # the 4C-wide exact-erf GELU is the largest elementwise pass —
             # the tanh form drops the A&S poly (~3e-4 max abs error)
             ("fused_tanh", dict(use_fused_blocks=True, gelu="tanh")),
+            # all three levers together — the combination the v5e roofline
+            # projects highest (v5e_fused_int8_tanh_projected)
+            ("fused_int8_tanh",
+             dict(use_fused_blocks=True, quant="int8", gelu="tanh")),
         ):
             try:
                 rate, stats = measure_variant(
