@@ -1,6 +1,6 @@
 # mmgclip_tpu developer targets
 
-.PHONY: test test-fast test-smoke demo bench bench-train bench-report bench-text dryrun reproduce eda
+.PHONY: test test-fast test-smoke demo bench bench-train bench-report bench-text bench-serve dryrun reproduce eda
 
 test:            ## full suite on the virtual 8-device CPU mesh (~14 min on 1 core)
 	python -m pytest tests/ -q
@@ -31,6 +31,9 @@ bench-report:    ## one-call cascade latency vs stepwise
 
 bench-text:      ## text-tower flash-vs-XLA attention A/B
 	BENCH_MODE=text python bench.py
+
+bench-serve:     ## serving latency + micro-batched throughput over TCP JSONL
+	BENCH_MODE=serve python bench.py
 
 dryrun:          ## multi-chip dryrun on a virtual 8-device CPU mesh (dp/tp/sp/pp/ep/zero1/multihost)
 	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"

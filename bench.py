@@ -20,6 +20,9 @@ Modes (env BENCH_MODE):
   text — text-tower throughput on the product path (pad-trimmed prompt
     encode) vs the reference-shaped pad-to-sequence-length program, plus a
     Pallas-flash vs XLA attention A/B at prompt-bank and full lengths.
+  serve — request latency + micro-batched throughput through the REAL
+    serving path (serve.py TCP JSONL protocol + dispatcher on a warm
+    InferenceEngine); the reference has no serving path at all.
 
 vs_baseline: encode -> value / 5000 (BASELINE.json north star); train/report
 -> speedup of the TPU-native design over the reference-shaped loop measured
@@ -1042,11 +1045,188 @@ def bench_text() -> dict:
     }
 
 
+def bench_serve() -> dict:
+    """Serving latency/throughput through the REAL product path: the TCP
+    JSONL protocol + micro-batching dispatcher of serve.py on a warm
+    InferenceEngine (the reference has no serving path at all — inference
+    means re-running evaluation scripts per request).
+
+    Workload: `classify` requests with inline 768-d features against a fixed
+    class list (the dispatcher's coalescible shape — serve.py::_batch_key).
+      sequential — ONE closed-loop client, every request is its own device
+        call: the reference-shaped per-request execution model.  Yields the
+        warm p50/p95 request latency.
+      concurrent — BENCH_SERVE_CLIENTS closed-loop clients; whatever queues
+        while the previous device call runs merges into ONE forward
+        (serve.py::handle_group), so throughput scales with concurrency
+        without added latency.
+    `report` sequential latency (full cascade + template assembly per
+    request) is recorded too.
+
+    value = concurrent requests/sec; vs_baseline = that over the sequential
+    (unbatched, reference-shaped) rate — the measured micro-batching win.
+
+    Env knobs: BENCH_SERVE_CLIENTS (16), BENCH_SERVE_REQS (16 per client),
+    BENCH_ITERS (sequential request count), BENCH_SERVE_TINY=1 (CPU smoke:
+    tiny towers instead of the product BERT-base + ConvNeXt-Tiny).
+    """
+    _setup_jax()
+    import asyncio
+    import socket as socketlib
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.serving import InferenceEngine
+    from serve import serve_socket
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cfg = compose(os.path.join(repo, "configs"), "train_binary_class_clf")
+    tiny = os.environ.get("BENCH_SERVE_TINY", "").strip().lower() in ("1", "true", "yes")
+    if tiny:
+        cfg.tokenizer.config.sequence_length = 32
+        cfg.networks.text_encoder = Config({
+            "name": "BertEncoder",
+            "config": {
+                "vocab_size": 4096, "hidden_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "intermediate_size": 128,
+                "max_position_embeddings": 64,
+            },
+        })
+        cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    engine = InferenceEngine(cfg)  # no checkpoint: latency is weight-agnostic
+
+    clients = int(os.environ.get("BENCH_SERVE_CLIENTS", 16))
+    per_client = int(os.environ.get("BENCH_SERVE_REQS", 16))
+    seq_iters = int(os.environ.get("BENCH_ITERS", 64))
+    dim = int(engine.cn_config.dims[-1])
+    rng = np.random.default_rng(0)
+    class_list = ["Mammogram revealed a mass.", "No findings are present."]
+
+    # warm every row bucket the dispatcher can produce (merged batches are
+    # power-of-two bucketed inside the engine) so the timed sections measure
+    # serving, not first-shape compiles
+    for n in (1, 2, 4, 8, 16, 32):
+        engine.classify(rng.normal(size=(n, dim)).astype(np.float32), class_list)
+    engine.generate_reports(rng.normal(size=(1, dim)).astype(np.float32))
+
+    # --- server on a background loop, OS-assigned port ---------------------
+    ready = threading.Event()
+    state: dict = {}
+
+    def run_server():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        aready = asyncio.Event()
+        bound: list = []
+        task = loop.create_task(serve_socket(
+            engine, host="127.0.0.1", port=0, ready_event=aready, bound_addr=bound))
+
+        async def announce():
+            await aready.wait()
+            state["port"] = bound[0][1]
+            state["loop"], state["task"] = loop, task
+            ready.set()
+
+        loop.create_task(announce())
+        try:
+            loop.run_until_complete(task)
+        except asyncio.CancelledError:
+            pass
+        finally:
+            loop.close()
+
+    thread = threading.Thread(target=run_server, daemon=True)
+    thread.start()
+    if not ready.wait(timeout=120):
+        raise RuntimeError("serve_socket failed to come up")
+    port = state["port"]
+
+    def session(n_requests, op="classify", collect_latency=False):
+        """One closed-loop client: send, await, repeat."""
+        lat = []
+        with socketlib.create_connection(("127.0.0.1", port)) as sock:
+            f = sock.makefile("rwb")
+            for i in range(n_requests):
+                feats = rng.normal(size=(dim,)).astype(np.float32).tolist()
+                if op == "classify":
+                    req = {"op": "classify", "features": feats,
+                           "class_list": class_list, "id": i}
+                else:
+                    req = {"op": "report", "features": [feats], "id": i}
+                payload = (json.dumps(req) + "\n").encode()
+                t0 = time.perf_counter()
+                f.write(payload)
+                f.flush()
+                line = f.readline()
+                if collect_latency:
+                    lat.append(time.perf_counter() - t0)
+                resp = json.loads(line)
+                if "result" not in resp:
+                    raise RuntimeError(f"serve error: {resp.get('error')}")
+        return lat
+
+    try:
+        session(4)  # protocol warm (connection setup, json paths)
+        # sequential: the reference-shaped per-request execution model
+        t0 = time.perf_counter()
+        seq_lat = session(seq_iters, collect_latency=True)
+        seq_wall = time.perf_counter() - t0
+        seq_rate = seq_iters / seq_wall
+        seq_ms = np.percentile(np.asarray(seq_lat) * 1e3, [50, 95])
+
+        report_lat = session(max(seq_iters // 4, 8), op="report", collect_latency=True)
+        report_p50_ms = float(np.percentile(np.asarray(report_lat) * 1e3, 50))
+
+        # concurrent closed-loop clients -> the dispatcher merges
+        with ThreadPoolExecutor(max_workers=clients) as pool:
+            # bucket-shape warm under load (list() forces the lazy map)
+            list(pool.map(lambda _: session(2), range(clients)))
+            t0 = time.perf_counter()
+            futs = [pool.submit(session, per_client, "classify", True)
+                    for _ in range(clients)]
+            all_lat = [t for fut in futs for t in fut.result()]
+            conc_wall = time.perf_counter() - t0
+        conc_rate = clients * per_client / conc_wall
+        conc_ms = np.percentile(np.asarray(all_lat) * 1e3, [50, 95])
+    finally:
+        state["loop"].call_soon_threadsafe(state["task"].cancel)
+        thread.join(timeout=30)
+
+    return {
+        "metric": f"requests/sec (classify over TCP JSONL, {clients} concurrent "
+                  "clients, micro-batched)",
+        "value": round(conc_rate, 1),
+        "unit": "requests/sec",
+        "vs_baseline": round(conc_rate / max(seq_rate, 1e-9), 2),
+        "detail": {
+            **({"platform_note": _PLATFORM_NOTE} if _PLATFORM_NOTE else {}),
+            "concurrent_req_per_sec": round(conc_rate, 1),
+            "sequential_req_per_sec": round(seq_rate, 1),
+            "microbatch_speedup": round(conc_rate / max(seq_rate, 1e-9), 2),
+            "sequential_p50_ms": round(float(seq_ms[0]), 3),
+            "sequential_p95_ms": round(float(seq_ms[1]), 3),
+            "concurrent_p50_ms": round(float(conc_ms[0]), 3),
+            "concurrent_p95_ms": round(float(conc_ms[1]), 3),
+            "report_p50_ms": round(report_p50_ms, 3),
+            "clients": clients, "requests_per_client": per_client,
+            "sequential_requests": seq_iters,
+            "tiny": tiny,
+            "note": "vs_baseline = concurrent (micro-batched) rate over the "
+                    "sequential per-request rate — the reference has no "
+                    "serving path; per-request device calls are its "
+                    "execution model. Latencies include JSON + TCP + "
+                    "dispatcher queueing.",
+        },
+    }
+
+
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "encode")
     result = {
         "encode": bench_encode, "train": bench_train,
         "report": bench_report, "text": bench_text,
+        "serve": bench_serve,
     }[mode]()
     print(json.dumps(result))
 

@@ -74,7 +74,13 @@ class InferenceEngine:
         # programs specialize per batch shape (the socket dispatcher buckets
         # merged batches to powers of two)
         self._embed_jit = jax.jit(self._embed_impl)
-        self._probs_jit = jax.jit(self._probs_impl)
+        # classify = embed + probs in ONE program: one dispatch RPC per
+        # request instead of two (each dispatch is ~ms on a remote link)
+        self._classify_jit = jax.jit(
+            lambda params, feats, text_emb: self._probs_impl(
+                params, self._embed_impl(params, feats), text_emb
+            )
+        )
 
     # ------------------------------------------------------------------
     def _encode_impl(self, pixels_u8):
@@ -170,8 +176,7 @@ class InferenceEngine:
             feats = feats[None, :]
         padded, n = self._bucket_rows(feats)
         text_emb = self._prompt_embeddings(class_list)
-        image_emb = self._embed_jit(self.params, padded)
-        probs = np.asarray(self._probs_jit(self.params, image_emb, text_emb))[:n]
+        probs = np.asarray(self._classify_jit(self.params, padded, text_emb))[:n]
         return {
             "classes_similarities": probs.tolist(),
             "similarities_argmax": np.argmax(probs, axis=-1).tolist(),

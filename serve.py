@@ -134,7 +134,8 @@ def handle_group(engine: InferenceEngine, requests: list) -> list:
 
 
 async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=None,
-                       ready_event=None, limit=64 * 1024 * 1024, max_batch=32):
+                       ready_event=None, limit=64 * 1024 * 1024, max_batch=32,
+                       bound_addr=None):
     """JSONL protocol over TCP / unix sockets, one task per connection.
 
     Device work runs on a single executor thread: clients interleave freely
@@ -267,7 +268,12 @@ async def serve_socket(engine: InferenceEngine, host=None, port=None, unix_path=
         server = await asyncio.start_unix_server(client, path=unix_path, limit=limit)
     else:
         server = await asyncio.start_server(client, host, port, limit=limit)
-    addr = unix_path or f"{host}:{port}"
+    sockname = None if unix_path else server.sockets[0].getsockname()
+    if bound_addr is not None:
+        # report the OS-assigned address (port=0) back to embedders (bench,
+        # tests) BEFORE ready_event so waiters never race the append
+        bound_addr.append(unix_path or sockname)
+    addr = unix_path or f"{sockname[0]}:{sockname[1]}"
     logger.info(f"Serving JSONL protocol on {addr}.")
     if ready_event is not None:
         ready_event.set()

@@ -30,6 +30,9 @@ TINY_ENV = {
     "BENCH_ROOFLINE_N": "256",
     "BENCH_ROOFLINE_ITERS": "2",
     "BENCH_ROOFLINE_WINDOWS": "1",
+    "BENCH_SERVE_TINY": "1",
+    "BENCH_SERVE_CLIENTS": "4",
+    "BENCH_SERVE_REQS": "4",
 }
 
 
@@ -161,6 +164,22 @@ def test_bench_text_smoke():
     assert detail["prompt_len_max"] <= detail["trimmed_seq"] <= detail["seq"]
     assert detail["trimmed_seq"] % 32 == 0
     assert result["value"] == max(detail["flash_trimmed"], detail["xla_trimmed"])
+
+
+def test_bench_serve_smoke():
+    result = _run("serve")
+    assert result["unit"] == "requests/sec"
+    assert result["value"] > 0
+    detail = result["detail"]
+    for key in (
+        "concurrent_req_per_sec", "sequential_req_per_sec",
+        "microbatch_speedup", "sequential_p50_ms", "sequential_p95_ms",
+        "concurrent_p50_ms", "concurrent_p95_ms", "report_p50_ms",
+    ):
+        assert key in detail and detail[key] > 0
+    assert detail["tiny"] is True  # the smoke env requested tiny towers
+    assert detail["sequential_p50_ms"] <= detail["sequential_p95_ms"]
+    assert result["vs_baseline"] == detail["microbatch_speedup"]
 
 
 def test_fused_projection_prices_banded_kernel_at_native_res():
