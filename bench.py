@@ -1142,19 +1142,29 @@ def bench_serve() -> dict:
         raise RuntimeError("serve_socket failed to come up")
     port = state["port"]
 
-    def session(n_requests, op="classify", collect_latency=False):
+    import base64
+
+    def make_payloads(n_requests, op="classify"):
+        """Pre-encode request lines: the compact features_b64 form, built
+        OUTSIDE the timed loop — timing must measure serving, not the
+        client's JSON generation (on a 1-core host the two compete)."""
+        payloads = []
+        for i in range(n_requests):
+            b64 = base64.b64encode(
+                rng.normal(size=(dim,)).astype("<f4").tobytes()
+            ).decode()
+            req = {"op": op, "features_b64": b64, "id": i}
+            if op == "classify":
+                req["class_list"] = class_list
+            payloads.append((json.dumps(req) + "\n").encode())
+        return payloads
+
+    def session(payloads, collect_latency=False):
         """One closed-loop client: send, await, repeat."""
         lat = []
         with socketlib.create_connection(("127.0.0.1", port)) as sock:
             f = sock.makefile("rwb")
-            for i in range(n_requests):
-                feats = rng.normal(size=(dim,)).astype(np.float32).tolist()
-                if op == "classify":
-                    req = {"op": "classify", "features": feats,
-                           "class_list": class_list, "id": i}
-                else:
-                    req = {"op": "report", "features": [feats], "id": i}
-                payload = (json.dumps(req) + "\n").encode()
+            for payload in payloads:
                 t0 = time.perf_counter()
                 f.write(payload)
                 f.flush()
@@ -1167,24 +1177,28 @@ def bench_serve() -> dict:
         return lat
 
     try:
-        session(4)  # protocol warm (connection setup, json paths)
+        session(make_payloads(4))  # protocol warm (connection setup, json paths)
         # sequential: the reference-shaped per-request execution model
+        seq_payloads = make_payloads(seq_iters)
         t0 = time.perf_counter()
-        seq_lat = session(seq_iters, collect_latency=True)
+        seq_lat = session(seq_payloads, collect_latency=True)
         seq_wall = time.perf_counter() - t0
         seq_rate = seq_iters / seq_wall
         seq_ms = np.percentile(np.asarray(seq_lat) * 1e3, [50, 95])
 
-        report_lat = session(max(seq_iters // 4, 8), op="report", collect_latency=True)
+        report_lat = session(
+            make_payloads(max(seq_iters // 4, 8), op="report"), collect_latency=True
+        )
         report_p50_ms = float(np.percentile(np.asarray(report_lat) * 1e3, 50))
 
         # concurrent closed-loop clients -> the dispatcher merges
+        client_payloads = [make_payloads(per_client) for _ in range(clients)]
         with ThreadPoolExecutor(max_workers=clients) as pool:
             # bucket-shape warm under load (list() forces the lazy map)
-            list(pool.map(lambda _: session(2), range(clients)))
+            warm = [make_payloads(2) for _ in range(clients)]
+            list(pool.map(session, warm))
             t0 = time.perf_counter()
-            futs = [pool.submit(session, per_client, "classify", True)
-                    for _ in range(clients)]
+            futs = [pool.submit(session, p, True) for p in client_payloads]
             all_lat = [t for fut in futs for t in fut.result()]
             conc_wall = time.perf_counter() - t0
         conc_rate = clients * per_client / conc_wall
@@ -1215,8 +1229,9 @@ def bench_serve() -> dict:
             "note": "vs_baseline = concurrent (micro-batched) rate over the "
                     "sequential per-request rate — the reference has no "
                     "serving path; per-request device calls are its "
-                    "execution model. Latencies include JSON + TCP + "
-                    "dispatcher queueing.",
+                    "execution model. Requests use the compact features_b64 "
+                    "form, pre-encoded outside the timed loops; latencies "
+                    "include JSON + TCP + dispatcher queueing.",
         },
     }
 

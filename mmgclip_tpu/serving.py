@@ -81,6 +81,17 @@ class InferenceEngine:
                 params, self._embed_impl(params, feats), text_emb
             )
         )
+        # report path likewise: embed + cascade in one program per request
+        self._cascade_one_jit = jax.jit(
+            lambda params, feats, table, mask: run_cascade(
+                self._embed_impl(params, feats)[0], table, mask
+            )
+        )
+        self._cascade_batch_jit = jax.jit(
+            lambda params, feats, table, mask: run_cascade_batch(
+                self._embed_impl(params, feats), table, mask
+            )
+        )
 
     # ------------------------------------------------------------------
     def _encode_impl(self, pixels_u8):
@@ -188,13 +199,18 @@ class InferenceEngine:
         if self._cascade_table is None:
             self._cascade_table = build_prompt_table(self.model, self.params, self.tokenizer)
         table, mask = self._cascade_table
-        embeddings = self.image_embeddings(features)
-        if embeddings.shape[0] == 1:
-            # single request: the packed-scalar fetch is the cheapest D2H on
-            # high-latency links (report_cascade.run_cascade docstring)
-            return [unpack_decisions(run_cascade(embeddings[0], table, mask))]
-        padded, n = self._bucket_rows(embeddings)  # shape-stable jit programs
-        packed = np.asarray(run_cascade_batch(padded, table, mask))[:n]  # one fetch for n reports
+        feats = jnp.asarray(features, jnp.float32)
+        if feats.ndim == 1:
+            feats = feats[None, :]
+        padded, n = self._bucket_rows(feats)  # shape-stable jit programs
+        if n == 1:
+            # single request: ONE dispatch (embed fused into the cascade) and
+            # the packed-scalar fetch — the cheapest D2H on high-latency
+            # links (report_cascade.run_cascade docstring)
+            return [unpack_decisions(self._cascade_one_jit(self.params, padded[:1], table, mask))]
+        packed = np.asarray(  # one dispatch + one fetch for n reports
+            self._cascade_batch_jit(self.params, padded, table, mask)
+        )[:n]
         return [unpack_decisions(p) for p in packed]
 
     def generate_reports(

@@ -6,7 +6,8 @@ New capability relative to the reference, which had no serving path.
 
 Protocol (one JSON object per line):
   {"op": "encode",   "paths": ["/path/a.png", ...]}
-  {"op": "classify", "paths": [...] | "features": [[...]], "class_list": [...]}
+  {"op": "classify", "paths": [...] | "features": [[...]] |
+                     "features_b64": "<base64 f32>", "class_list": [...]}
   {"op": "report",   "paths": [...] | "exam_dir": "/path/st02", "seed": 42}
   {"op": "ping"}
 
@@ -40,6 +41,27 @@ from mmgclip_tpu.serving import InferenceEngine
 from mmgclip_tpu.utils.logging import logger
 
 
+def _inline_features(engine: InferenceEngine, request: dict) -> np.ndarray:
+    """Decode inline features: either a JSON float list ("features") or the
+    compact form ("features_b64": base64 little-endian float32, flat or
+    row-major [n, d]).  JSON float lists cost ~15 KB and a milliseconds-scale
+    parse per 768-d vector — on a busy host that dwarfs the device call —
+    so production clients should prefer the b64 form (~4 KB, microsecond
+    decode)."""
+    if "features_b64" in request:
+        import base64
+
+        buf = np.frombuffer(base64.b64decode(request["features_b64"]), dtype="<f4")
+        dim = int(engine.cn_config.dims[-1])
+        if buf.size == 0 or buf.size % dim:
+            raise ValueError(
+                f"features_b64 holds {buf.size} float32s, not a multiple of "
+                f"the feature dim {dim}"
+            )
+        return buf.reshape(-1, dim)
+    return np.asarray(request["features"], np.float32)
+
+
 def handle(engine: InferenceEngine, request: dict) -> dict:
     op = request.get("op")
     if op == "ping":
@@ -48,16 +70,16 @@ def handle(engine: InferenceEngine, request: dict) -> dict:
         feats = engine.encode_paths(request["paths"])
         return {"features": feats.tolist()}
     if op == "classify":
-        if "features" in request:
-            feats = np.asarray(request["features"], np.float32)
+        if "features" in request or "features_b64" in request:
+            feats = _inline_features(engine, request)
         else:
             feats = engine.encode_paths(request["paths"])
         return engine.classify(feats, request["class_list"])
     if op == "report":
         if "exam_dir" in request:
             feats = engine.encode_exam(request["exam_dir"])
-        elif "features" in request:
-            feats = np.asarray(request["features"], np.float32)
+        elif "features" in request or "features_b64" in request:
+            feats = _inline_features(engine, request)
         else:
             feats = engine.encode_paths(request["paths"])
         reports = engine.generate_reports(
@@ -78,9 +100,10 @@ def _batch_key(request: dict):
     try:
         op = request.get("op")
         key = None
-        if op == "classify" and "features" in request and "class_list" in request:
+        inline = "features" in request or "features_b64" in request
+        if op == "classify" and inline and "class_list" in request:
             key = ("classify", tuple(request["class_list"]))
-        elif op == "report" and "features" in request and "exam_dir" not in request:
+        elif op == "report" and inline and "exam_dir" not in request:
             # exam_dir takes precedence over features in handle(); a request
             # carrying both must not answer differently under load
             key = ("report", int(request.get("seed", 42)), bool(request.get("bug_compat", True)))
@@ -98,7 +121,7 @@ def handle_group(engine: InferenceEngine, requests: list) -> list:
         return [handle(engine, requests[0])]
     arrays = []
     for request in requests:
-        arr = np.asarray(request["features"], np.float32)
+        arr = _inline_features(engine, request)
         arrays.append(arr[None, :] if arr.ndim == 1 else arr)
     counts = [arr.shape[0] for arr in arrays]
     merged = np.concatenate(arrays, axis=0)

@@ -336,6 +336,54 @@ def test_batch_key_rules():
     assert _batch_key({"op": "ping"}) is None
 
 
+def test_features_b64_form(experiment):
+    """The compact inline-features form: identical answers to the JSON list
+    form, coalescible (same batch key), mixable within one merged group, and
+    loud on a payload that is not a multiple of the feature dim."""
+    import base64
+
+    from serve import _batch_key, handle, handle_group
+
+    run_dir, _, _ = experiment
+    engine = InferenceEngine.from_experiment(run_dir)
+    rng = np.random.default_rng(2)
+    feats = rng.normal(size=(2, 768)).astype(np.float32)
+    b64 = base64.b64encode(feats.astype("<f4").tobytes()).decode()
+    class_list = ["benign", "malignant"]
+
+    via_list = handle(engine, {"op": "classify", "features": feats.tolist(),
+                               "class_list": class_list})
+    via_b64 = handle(engine, {"op": "classify", "features_b64": b64,
+                              "class_list": class_list})
+    np.testing.assert_allclose(
+        via_b64["classes_similarities"], via_list["classes_similarities"], rtol=1e-5
+    )
+    assert via_b64["similarities_argmax"] == via_list["similarities_argmax"]
+
+    # coalescible, and the two forms share a key (they merge together)
+    key_b64 = _batch_key({"op": "classify", "features_b64": b64, "class_list": class_list})
+    key_list = _batch_key({"op": "classify", "features": [[1.0]], "class_list": class_list})
+    assert key_b64 is not None and key_b64 == key_list
+    assert _batch_key({"op": "report", "features_b64": b64}) is not None
+
+    mixed = [
+        {"op": "classify", "features": feats[:1].tolist(), "class_list": class_list},
+        {"op": "classify",
+         "features_b64": base64.b64encode(feats[1:].astype("<f4").tobytes()).decode(),
+         "class_list": class_list},
+    ]
+    grouped = handle_group(engine, mixed)
+    np.testing.assert_allclose(
+        grouped[0]["classes_similarities"] + grouped[1]["classes_similarities"],
+        via_list["classes_similarities"], rtol=1e-5,
+    )
+
+    with pytest.raises(ValueError, match="multiple of"):
+        handle(engine, {"op": "classify",
+                        "features_b64": base64.b64encode(b"\x00" * 12).decode(),
+                        "class_list": class_list})
+
+
 def test_malformed_request_does_not_kill_dispatcher(experiment, tmp_path):
     """A request whose batch key WOULD have raised must produce a per-client
     error while the server keeps serving (review fix: a dead dispatcher task
