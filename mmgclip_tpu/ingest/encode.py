@@ -71,6 +71,20 @@ def load_convnext_tower(config, seed: int = 0):
         # error bounded by tests/test_quant.py + the bench's recorded
         # int8_max_feature_rel_err
         cn_config = replace(cn_config, quant=str(overrides["quant"]))
+        if not overrides.get("use_fused_blocks"):
+            # measured on the real chip (PERF.md): UNFUSED int8 is a 0.96x
+            # SLOWDOWN — dynamic quantization adds a VPU quantize pass and
+            # extra HBM round trips without shrinking activation traffic.
+            # int8 only pays inside the fused kernel, where the quantize /
+            # dequantize stay VMEM-resident (fused_convnext_block_int8).
+            logger.warning(
+                "quant=int8 WITHOUT use_fused_blocks is a measured slowdown "
+                "(0.96x vs bf16 on TPU v5e, PERF.md): the dynamic quantize "
+                "pass costs more than the int8 MXU rate saves on the unfused "
+                "path. Set networks.image_encoder.config.use_fused_blocks="
+                "true (or use the clip_convnext_fused_bert presets) to get "
+                "the in-kernel int8 path where int8 actually pays."
+            )
     if overrides.get("use_fused_blocks"):
         # whole-block VMEM-resident Pallas kernel (ops/fused_block.py):
         # collapses the block's ~25 HBM element-passes to ~2 on real TPU;
@@ -133,6 +147,28 @@ class _Encoder:
         self.bucket_rounding = int(
             config.get_path("dataset.config.encode_bucket_rounding", bucket_rounding) or bucket_rounding
         )
+        # device-side ingest stages (the north-star fused chain: decode ->
+        # crop/pad -> RESIZE -> INTENSITY WINDOWING -> normalization).  The
+        # reference resizes nothing (image_features.py:28, ToTensor only) —
+        # both knobs are off by default and PARITY.md documents them.
+        resize = config.get_path("dataset.config.encode_resize", None)
+        if resize is None:
+            self.resize_hw = None
+        elif isinstance(resize, (list, tuple)):
+            self.resize_hw = (int(resize[0]), int(resize[1]))
+        else:
+            self.resize_hw = (int(resize), int(resize))
+        self.resize_method = str(
+            config.get_path("dataset.config.encode_resize_method", "area") or "area")
+        window = config.get_path("dataset.config.encode_window", None)
+        self.window = (float(window[0]), float(window[1])) if window else None
+        if self.resize_hw and self.bucket_rounding:
+            # resize already maps every image onto ONE output canvas; input
+            # buckets stay exact-shape so each native resolution gets exact
+            # (aspect-preserving) resample weights
+            logger.info("encode_resize set: ignoring encode_bucket_rounding "
+                        "(resize buckets by exact native shape).")
+            self.bucket_rounding = 0
         self.module, self.params, self.cn_config = load_convnext_tower(config)
         self._jitted: Dict = {}
 
@@ -155,13 +191,49 @@ class _Encoder:
 
     def _encode_fn(self):
         module, params, in_ch = self.module, self.params, self.cn_config.in_channels
+        window = self.window
 
         @jax.jit
         def encode(pixels_u8):  # [n, H, W] uint8
-            x = intensity_transform(pixels_u8)[..., None]
+            x = intensity_transform(pixels_u8, window=window)[..., None]
             if in_ch > 1:
                 x = jnp.repeat(x, in_ch, axis=-1)
             return module.apply(params, x)  # pooled [n, 768]
+
+        return encode
+
+    def _resized_encode_fn(self):
+        """The fused native-res ingest program: raw uint8 crosses PCIe, then
+        resize -> intensity windowing -> normalization -> tower run as ONE
+        XLA program per native input shape.
+
+        The aspect-preserving resample lands each image top-left on the
+        fixed canvas (ops/resize.py::resize_to_canvas) and the tower runs
+        its EXACT masked-encode path (``valid_hw``) over the result — the
+        same contract bucket rounding uses, so features are invariant to
+        which other shapes share the canvas.  This is the physical route to
+        the north-star throughput at native input sizes: the tower runs at
+        canvas FLOPs (e.g. the measured 256/512-class rates) regardless of
+        the 2294x1914-class source resolution, and the resample itself is
+        two MXU matmuls."""
+        module, params, in_ch = self.module, self.params, self.cn_config.in_channels
+        canvas, method, window = self.resize_hw, self.resize_method, self.window
+
+        from ..models.convnext import _valid_mask
+        from ..ops.preprocess import normalize_16bit, to_16bit
+        from ..ops.resize import resize_to_canvas
+
+        @jax.jit
+        def encode(pixels_u8):  # [n, H, W] uint8/uint16, any native shape
+            raw = to_16bit(pixels_u8)
+            y, valid_hw = resize_to_canvas(raw, canvas, method=method)
+            x = normalize_16bit(y, window=window)[..., None]
+            # zero the canvas pad AFTER normalization (raw zeros map to -1,
+            # a strong signal) — the masked-tower convention
+            x = x * _valid_mask(x, valid_hw)
+            if in_ch > 1:
+                x = jnp.repeat(x, in_ch, axis=-1)
+            return module.apply(params, x, valid_hw=valid_hw)
 
         return encode
 
@@ -178,12 +250,13 @@ class _Encoder:
         encode to float tolerance (tests/test_bucket_rounding.py).
         valid_hw: [n, 2] valid (H, W) per image."""
         module, params, in_ch = self.module, self.params, self.cn_config.in_channels
+        window = self.window
 
         from ..models.convnext import _valid_mask
 
         @jax.jit
         def encode(pixels_u8, valid_hw):
-            x = intensity_transform(pixels_u8)[..., None]
+            x = intensity_transform(pixels_u8, window=window)[..., None]
             # zero the pad region AFTER the transform: raw uint8 zeros map to
             # -1.0 (a strong signal); the exact-shape run has no pixels there.
             # Same masking convention as the tower's valid_hw path — shared
@@ -212,7 +285,9 @@ class _Encoder:
         bucketed by shape, encoded in jitted batches; ``on_result(key, vec)``
         per image."""
         rounding = self.bucket_rounding
-        if rounding:
+        if self.resize_hw:
+            encode = self._jitted.setdefault("resized_fn", self._resized_encode_fn())
+        elif rounding:
             encode = self._jitted.setdefault("masked_fn", self._masked_encode_fn())
         else:
             encode = self._jitted.setdefault("fn", self._encode_fn())

@@ -31,9 +31,11 @@ working set exceeds VMEM — the reference encodes mammograms at NATIVE
 resolution (mmgclip/networks/image_features.py:28, ToTensor only, no
 resize), so large shape buckets are the product norm — run the ROW-BANDED
 grid instead (`_kernel_banded`): one program per [band_h, W, C] output
-band, halo assembled in VMEM from prev/cur/next BlockSpec blocks.  Only
-when no band divisor fits either does the op fall back to the lax path
-(as it always does on non-TPU backends).
+band, halo assembled in VMEM from prev/cur/next BlockSpec blocks.  Heights
+with no usable band divisor (most real FFDM shapes) are zero-padded at the
+bottom to the nearest band-friendly height — exact under SAME padding, see
+`_pad_to_band` — so on TPU the op only falls back to the lax path when even
+the smallest band exceeds VMEM (and always on non-TPU backends).
 """
 
 from __future__ import annotations
@@ -430,13 +432,38 @@ def _banded_working_set(band_h, w, c, dtype_bytes, tile_h):
 def _pick_band_h(h, w, c, dtype_bytes):
     """Largest divisor of `h` giving >= 2 bands of >= 2*HALO rows whose
     banded working set fits the VMEM budget; None if no divisor does
-    (then the caller falls back to the lax path)."""
+    (then the caller pads to a band-friendly height, see _pad_to_band)."""
     for band in sorted((d for d in range(2 * HALO, h // 2 + 1) if h % d == 0),
                        reverse=True):
         if _banded_working_set(band, w, c, dtype_bytes,
                                _pick_tile_h(band, w, c)) < _VMEM_BUDGET:
             return band
     return None
+
+
+def _pad_to_band(h, w, c, dtype_bytes):
+    """(h_pad, band_h) making the banded kernel admissible when `h` itself
+    has no usable band divisor — real mammogram shapes rarely do (the
+    reference encodes at NATIVE resolution, image_features.py:28, and a
+    true FFDM post-stem height like 573 = 3*191 offers no divisor in
+    [6, h/2] that fits VMEM).  Scans a one-kernel-width window of padded
+    heights and keeps the largest fitting band (ties -> least padding).
+
+    Bottom ZERO-row padding is mathematically EXACT under SAME semantics:
+    the pad rows are precisely the zeros SAME padding injects at the true
+    bottom border (so the dwconv windows of rows [0, h) see identical
+    values), and every other op in the block — LayerNorm over C, the 1x1
+    pointwise convs, layer-scale, residual — is per-pixel.  Output rows
+    [0, h) therefore match the unpadded run bit-for-bit; the caller slices
+    the pad rows off.  Returns None only if even the smallest band exceeds
+    VMEM (then the lax fallback is genuinely required)."""
+    best = None
+    start = max(h, 4 * HALO)  # need >= 2 bands of >= 2*HALO rows
+    for h_pad in range(start, start + 2 * K):
+        band = _pick_band_h(h_pad, w, c, dtype_bytes)
+        if band is not None and (best is None or band > best[1]):
+            best = (h_pad, band)
+    return best
 
 
 # tests flip this to drive the REAL kernel (interpret mode) through the
@@ -461,9 +488,11 @@ def fused_convnext_block(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, interpret=False
 
 def _route(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, interpret, gelu_tanh,
            quant):
-    """Shared three-way gate: whole-image kernel when the working set fits
-    VMEM, row-banded kernel when a band divisor fits, lax math otherwise
-    (and always off-TPU).  `quant` selects the int8 variants throughout."""
+    """Shared gate: whole-image kernel when the working set fits VMEM,
+    row-banded kernel when a band divisor fits, PAD-to-band + banded when it
+    doesn't (exact — see _pad_to_band), lax math only when even the smallest
+    band exceeds VMEM (and always off-TPU).  `quant` selects the int8
+    variants throughout."""
     interpret = interpret or FORCE_INTERPRET
     n, h, w, c = x.shape
     tile_h = _pick_tile_h(h, w, c)
@@ -480,6 +509,17 @@ def _route(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, *, interpret, gelu_tanh,
                 x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, band_h=band_h,
                 tile_h=_pick_tile_h(band_h, w, c), eps=1e-6,
                 interpret=interpret, gelu_tanh=gelu_tanh, quant=quant)
+        padded = _pad_to_band(h, w, c, x.dtype.itemsize)
+        if padded is not None:  # divisor-free heights (true FFDM shapes):
+            # zero-pad the bottom to the nearest band-friendly height — exact
+            # under SAME padding (see _pad_to_band) — and slice the pad off
+            h_pad, band_h = padded
+            xp = jnp.pad(x, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+            out = _fused_call_banded(
+                xp, dwk, dwb, ns, nb, w1, b1, w2, b2, g, band_h=band_h,
+                tile_h=_pick_tile_h(band_h, w, c), eps=1e-6,
+                interpret=interpret, gelu_tanh=gelu_tanh, quant=quant)
+            return out[:, :h]
     lax = _lax_block_int8 if quant else _lax_block
     return lax(x, dwk, dwb, ns, nb, w1, b1, w2, b2, g, gelu_tanh=gelu_tanh)
 

@@ -1,0 +1,122 @@
+"""Device-side image resize: separable weight-matrix matmuls on the MXU.
+
+The reference encodes mammograms at NATIVE resolution — its transform chain
+is ToTensor only (reference: mmgclip/networks/image_features.py:28,95-99,
+no Resize stage) — which makes >=5,000 img/s/chip physically impossible on
+v5e 47+ GFLOP/image towers (bench.py prices it: 512-input already needs
+236 TFLOP/s > the 197 bf16 peak).  The north star's ingest chain therefore
+names resize as a fused stage: raw uint8 crosses PCIe, and the downscale
+happens ON DEVICE inside the same XLA program as the windowing, the
+normalization and the tower.
+
+TPU-first formulation: 2-D resampling with a separable kernel is exactly a
+pair of small matrix products
+
+    y = R_h @ x @ R_w^T        (per image / channel)
+
+where ``R_h [H_out, H_in]`` and ``R_w [W_out, W_in]`` hold the 1-D
+resampling weights.  The weights are numpy constants of the (static) shape
+pair, so XLA sees two plain matmuls that tile straight onto the MXU — no
+gather, no dynamic indexing, and the [H_out, W_in] intermediate fuses with
+the surrounding elementwise chain.  Supported kernels:
+
+* ``area`` — box/average resampling (each output cell integrates the input
+  cells it covers).  The anti-aliased choice for the large downscale
+  factors mammography needs (2294x1914 -> 256-512 class sizes); identical
+  to torch's ``interpolate(mode="area")`` / PIL BOX.
+* ``bilinear`` — half-pixel-center tent kernel, identical to
+  ``jax.image.resize(method="linear")`` / torch ``align_corners=False``.
+
+Both are linear in the input, so uint8 pixels can ride the matmul directly
+after a cast — the intensity transform (an affine map) commutes with them
+up to the windowing clip, and the encode path applies it after the resize
+where the pixel count is smallest.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _resize_weights(n_in: int, n_out: int, method: str) -> np.ndarray:
+    """[n_out, n_in] float32 resampling matrix; rows sum to 1."""
+    if method == "area":
+        # output cell i integrates input interval [i*s, (i+1)*s), s = in/out
+        s = n_in / n_out
+        w = np.zeros((n_out, n_in), np.float32)
+        for i in range(n_out):
+            lo, hi = i * s, (i + 1) * s
+            j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+            for j in range(j0, min(j1, n_in)):
+                w[i, j] = (min(j + 1, hi) - max(j, lo)) / s
+        return w
+    if method == "bilinear":
+        # half-pixel centers (jax.image "linear" / torch align_corners=False)
+        s = n_in / n_out
+        w = np.zeros((n_out, n_in), np.float32)
+        for i in range(n_out):
+            c = (i + 0.5) * s - 0.5
+            j0 = int(np.floor(c))
+            f = c - j0
+            w[i, min(max(j0, 0), n_in - 1)] += 1.0 - f
+            w[i, min(max(j0 + 1, 0), n_in - 1)] += f
+        return w
+    raise ValueError(f"resize method must be 'area' or 'bilinear', got {method!r}")
+
+
+def resize2d(x, out_hw: Tuple[int, int], method: str = "area",
+             dtype=jnp.float32):
+    """Resize [..., H, W] or [n, H, W, C] images to ``out_hw``.
+
+    The channel axis is detected by convention: rank-4 inputs are NHWC,
+    everything else treats the last two axes as (H, W).  Compute is fp32
+    (weight rows sum to 1, so uint8 inputs stay in the uint8 value range);
+    cast to ``dtype`` on the way out.
+    """
+    nhwc = x.ndim == 4
+    h_ax, w_ax = (1, 2) if nhwc else (x.ndim - 2, x.ndim - 1)
+    h_in, w_in = x.shape[h_ax], x.shape[w_ax]
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    rh = jnp.asarray(_resize_weights(h_in, h_out, method))
+    rw = jnp.asarray(_resize_weights(w_in, w_out, method))
+    xf = x.astype(jnp.float32)
+    if nhwc:
+        y = jnp.einsum("oh,nhwc->nowc", rh, xf)
+        y = jnp.einsum("pw,nowc->nopc", rw, y)
+    else:
+        y = jnp.einsum("oh,...hw->...ow", rh, xf)
+        y = jnp.einsum("pw,...ow->...op", rw, y)
+    return y.astype(dtype)
+
+
+def fit_shape(in_hw: Tuple[int, int], canvas_hw: Tuple[int, int]) -> Tuple[int, int]:
+    """Aspect-preserving fit of ``in_hw`` inside ``canvas_hw`` (static math:
+    called at trace time with concrete bucket shapes)."""
+    h, w = int(in_hw[0]), int(in_hw[1])
+    ch, cw = int(canvas_hw[0]), int(canvas_hw[1])
+    scale = min(ch / h, cw / w)
+    return max(1, min(ch, round(h * scale))), max(1, min(cw, round(w * scale)))
+
+
+def resize_to_canvas(x, canvas_hw: Tuple[int, int], method: str = "area",
+                     dtype=jnp.float32):
+    """Aspect-preserving resize of [n, H, W] images onto a fixed canvas.
+
+    Images scale (up or down) to fit ``canvas_hw`` without distortion and
+    land top-left; the remainder is zero — exactly the convention of the
+    bucketed-encode masked tower (models/convnext.py ``valid_hw``), so the
+    result feeds the EXACT masked encode unchanged.  Returns
+    ``(canvas [n, ch, cw], valid_hw [n, 2] int32)``.
+    """
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    ch, cw = int(canvas_hw[0]), int(canvas_hw[1])
+    vh, vw = fit_shape((h, w), (ch, cw))
+    y = resize2d(x, (vh, vw), method=method, dtype=dtype)
+    y = jnp.pad(y, ((0, 0), (0, ch - vh), (0, cw - vw)))
+    valid_hw = jnp.broadcast_to(jnp.asarray([vh, vw], jnp.int32), (n, 2))
+    return y, valid_hw

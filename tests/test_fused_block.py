@@ -400,3 +400,84 @@ def test_pick_band_h_properties():
                                   _pick_tile_h(band, 128, 96)) < fb._VMEM_BUDGET
     # a prime row count has no usable divisor -> None (lax fallback)
     assert fb._pick_band_h(127, 4096, 512, 4) is None
+
+
+def test_pad_to_band_covers_ffdm_post_stem():
+    """A true FFDM mammogram (2294x1914 -> post-stem 573x478x96 bf16) has no
+    usable band divisor (573 = 3*191); before pad-to-band the gate silently
+    fell back to lax exactly at the product norm (native-resolution encode,
+    reference image_features.py:28).  _pad_to_band must cover it."""
+    h, w, c = 573, 478, 96
+    assert fb._pick_band_h(h, w, c, 2) is None  # the pre-fix gap
+    padded = fb._pad_to_band(h, w, c, 2)
+    assert padded is not None
+    h_pad, band = padded
+    assert h_pad >= h and h_pad - h < 2 * fb.K
+    assert h_pad % band == 0 and band >= 2 * fb.HALO
+    assert fb._banded_working_set(band, w, c, 2, _pick_tile_h(band, w, c)) \
+        < fb._VMEM_BUDGET
+
+
+def test_route_never_falls_back_for_any_height(monkeypatch):
+    """On TPU (interpret stands in for it), _route must pick a kernel path —
+    whole / banded / pad-to-band — for EVERY height >= 6 at FFDM-scale
+    width/channels; the lax fallback fires only below the kernel's minimum
+    band height.  Routing-only check (no kernel execution): the pallas_call
+    wrappers are stubbed to record the decision."""
+    calls = []
+    monkeypatch.setattr(fb, "_fused_call", lambda x, *a, **k: calls.append(("whole", x.shape)) or x)
+    monkeypatch.setattr(fb, "_fused_call_int8", lambda x, *a, **k: calls.append(("whole8", x.shape)) or x)
+    monkeypatch.setattr(
+        fb, "_fused_call_banded",
+        lambda x, *a, **k: calls.append(("banded", x.shape, k["band_h"])) or x)
+    p = _params(np.random.default_rng(30), 96)
+    w = 478
+    for h in [6, 7, 11, 12, 127, 191, 573, 574, 1024]:
+        calls.clear()
+        x = jnp.zeros((1, h, w, 96), jnp.bfloat16)
+        out = fb._route(x, *p.values(), interpret=True, gelu_tanh=False,
+                        quant=False)
+        assert calls, f"h={h}: silent lax fallback"
+        assert out.shape == x.shape, f"h={h}: pad rows leaked into the output"
+        if calls[0][0] == "banded":
+            h_pad, band = calls[0][1][1], calls[0][2]
+            assert h_pad % band == 0 and h_pad >= h
+
+
+def test_route_pad_to_band_output_equals_lax(monkeypatch):
+    """Numeric equality of the PAD-to-band path vs the lax math through the
+    public gate, all variants, at a divisor-free height (h=23 is prime: no
+    divisor in [6, 11])."""
+    rng = np.random.default_rng(31)
+    c = 128
+    n, h, w = 1, 23, 8
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.float32)
+    p = _params(rng, c)
+    # force the whole-image path out so the pad-to-band branch must carry it
+    monkeypatch.setattr(
+        fb, "_VMEM_BUDGET",
+        fb._banded_working_set(6, w, c, 4, _pick_tile_h(6, w, c)) + 1)
+    assert fb._pick_band_h(h, w, c, 4) is None
+
+    banded_calls = []
+    real = fb._fused_call_banded
+
+    def spy(*args, **kw):
+        banded_calls.append(kw["band_h"])
+        return real(*args, **kw)
+
+    monkeypatch.setattr(fb, "_fused_call_banded", spy)
+    out = fused_convnext_block(x, *p.values(), True)
+    assert banded_calls, "pad-to-band path did not fire"
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_lax_block(x, *p.values())),
+                               atol=2e-5, rtol=2e-5)
+    # tanh + int8 variants ride the same pad path
+    out_t = fused_convnext_block(x, *p.values(), True, True)
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(_lax_block(x, *p.values(), gelu_tanh=True)),
+        atol=2e-5, rtol=2e-5)
+    ref8 = np.asarray(fb._lax_block_int8(x, *p.values())).ravel()
+    out8 = np.asarray(fb.fused_convnext_block_int8(x, *p.values(), True)).ravel()
+    cos = float(out8 @ ref8 / (np.linalg.norm(out8) * np.linalg.norm(ref8)))
+    assert cos > 0.999

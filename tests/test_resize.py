@@ -1,0 +1,237 @@
+"""Device-side resize (ops/resize.py) + intensity windowing
+(ops/preprocess.py): oracle parity (torch area / jax.image bilinear),
+canvas-fit geometry, and the fused native-res ingest path through
+ImageFeatureExtractor (dataset.config.encode_resize / encode_window).
+
+The reference resizes nothing (mmgclip/networks/image_features.py:28,
+ToTensor only) — these stages are the north star's fused ingest chain
+('decode, crop/pad, resize, intensity windowing, normalization'), off by
+default and documented as a divergence in PARITY.md."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmgclip_tpu.ops.preprocess import intensity_transform, normalize_16bit, to_16bit
+from mmgclip_tpu.ops.resize import (_resize_weights, fit_shape, resize2d,
+                                    resize_to_canvas)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("n_in,n_out", [(64, 32), (57, 13), (100, 37), (8, 8)])
+@pytest.mark.parametrize("method", ["area", "bilinear"])
+def test_resize_weight_rows_sum_to_one(n_in, n_out, method):
+    w = _resize_weights(n_in, n_out, method)
+    assert w.shape == (n_out, n_in)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+    assert (w >= 0).all()
+
+
+def test_area_resize_matches_torch_at_integer_factors():
+    """At integer downscale factors torch F.interpolate(mode='area') IS the
+    box filter — exact-parity oracle."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 48)).astype(np.float32)
+    ours = np.asarray(resize2d(jnp.asarray(x), (32, 24), method="area"))
+    ref = F.interpolate(torch.from_numpy(x)[:, None], size=(32, 24),
+                        mode="area")[:, 0].numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,out_hw", [((1, 57, 91), (16, 20)),
+                                          ((1, 230, 190), (64, 48))])
+def test_area_resize_matches_tf_at_fractional_factors(shape, out_hw):
+    """Fractional factors: tf.image.resize(method='area') is the true
+    fractional-overlap box integration this op implements (torch 'area'
+    switches to adaptive-avg-pool integer cells there, and PIL BOX weights
+    whole pixels by center membership — both different, blockier filters)."""
+    tf = pytest.importorskip("tensorflow")
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=shape).astype(np.float32)
+    ours = np.asarray(resize2d(jnp.asarray(x), out_hw, method="area"))
+    ref = tf.image.resize(x[..., None], out_hw, method="area").numpy()[..., 0]
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,out_hw", [((2, 64, 48), (32, 24)),
+                                          ((1, 57, 91), (128, 40))])
+def test_bilinear_resize_matches_jax_image(shape, out_hw):
+    """Classic 2-tap bilinear (half-pixel centers) == jax.image 'linear'
+    with antialias off (the antialiased default widens the kernel when
+    downscaling — that's what the 'area' method is for)."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=shape).astype(np.float32)
+    ours = np.asarray(resize2d(jnp.asarray(x), out_hw, method="bilinear"))
+    ref = np.asarray(jax.image.resize(jnp.asarray(x), (shape[0], *out_hw),
+                                      method="linear", antialias=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_resize2d_nhwc_and_uint8():
+    rng = np.random.default_rng(2)
+    x8 = rng.integers(0, 256, (2, 16, 12, 3), dtype=np.uint8)
+    y = np.asarray(resize2d(jnp.asarray(x8), (8, 6), method="area"))
+    assert y.shape == (2, 8, 6, 3)
+    ref = np.asarray(resize2d(jnp.asarray(x8.astype(np.float32)), (8, 6)))
+    np.testing.assert_allclose(y, ref, atol=1e-3)
+    # value range preserved (rows sum to 1)
+    assert y.min() >= 0 and y.max() <= 255
+
+
+def test_resize_method_validation():
+    with pytest.raises(ValueError, match="area.*bilinear"):
+        resize2d(jnp.zeros((1, 8, 8)), (4, 4), method="cubic")
+
+
+def test_fit_shape_preserves_aspect():
+    assert fit_shape((2294, 1914), (256, 256)) == (256, 214)
+    assert fit_shape((1914, 2294), (256, 256)) == (214, 256)
+    assert fit_shape((100, 100), (256, 256)) == (256, 256)  # upscale-to-fit
+    vh, vw = fit_shape((2294, 1914), (512, 512))
+    assert vh == 512 and abs(vw / vh - 1914 / 2294) < 0.01
+
+
+def test_resize_to_canvas_geometry_and_pad():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 60, 40)).astype(np.float32) + 5.0  # positive
+    y, valid = resize_to_canvas(jnp.asarray(x), (32, 32), method="area")
+    y, valid = np.asarray(y), np.asarray(valid)
+    assert y.shape == (2, 32, 32)
+    vh, vw = valid[0]
+    assert (valid == [vh, vw]).all() and vh == 32 and vw == 21
+    # pad region exactly zero, valid region strictly positive
+    assert np.abs(y[:, :, vw:]).max() == 0
+    assert y[:, :vh, :vw].min() > 0
+    # valid region equals the direct resize
+    direct = np.asarray(resize2d(jnp.asarray(x), (int(vh), int(vw))))
+    np.testing.assert_allclose(y[:, :vh, :vw], direct, atol=1e-5)
+
+
+def test_intensity_window_full_range_equals_reference_transform():
+    """window=(32767.5, 65535) IS the reference normalization — byte-exact,
+    so the windowing stage is a strict superset of the shipped transform."""
+    rng = np.random.default_rng(4)
+    for dtype, arr in [("u1", rng.integers(0, 256, (3, 8, 8)).astype(np.uint8)),
+                       ("u2", rng.integers(0, 65536, (3, 8, 8)).astype(np.uint16))]:
+        base = np.asarray(intensity_transform(jnp.asarray(arr)))
+        windowed = np.asarray(intensity_transform(jnp.asarray(arr),
+                                                  window=(32767.5, 65535.0)))
+        np.testing.assert_array_equal(base, windowed)
+
+
+def test_intensity_window_clips_and_maps():
+    # 16-bit domain window center 30000 width 20000 -> [20000, 40000] onto [-1, 1]
+    x = jnp.asarray(np.array([0, 20000, 30000, 40000, 65535], np.uint16))
+    y = np.asarray(intensity_transform(x, window=(30000, 20000)))
+    np.testing.assert_allclose(y, [-1.0, -1.0, 0.0, 1.0, 1.0], atol=1e-6)
+    with pytest.raises(ValueError, match="width"):
+        normalize_16bit(to_16bit(x), window=(100, 0))
+
+
+def test_encode_resize_end_to_end(tmp_path):
+    """ImageFeatureExtractor with encode_resize: native shapes collapse onto
+    ONE canvas; a square image whose fit fills the canvas produces features
+    equal to the plain exact-shape encode of the pre-resized pixels (the
+    masked tower with full valid_hw == the unmasked tower)."""
+    import pandas as pd
+    from PIL import Image
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.base.features_export_dir = str(tmp_path / "enc")
+    cfg.dataset.config.encode_resize = [32, 32]
+    cfg.dataset.config.encode_bucket_rounding = 64  # must be ignored
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i, (h, w) in enumerate([(64, 64), (96, 64), (50, 70)]):
+        p = str(tmp_path / f"r{i}.png")
+        Image.fromarray(rng.integers(0, 256, (h, w), dtype=np.uint8), mode="L").save(p)
+        paths.append(p)
+    df = pd.DataFrame({"image_path": paths})
+
+    extractor = ImageFeatureExtractor(config=cfg, dataset=df, batch_size=4)
+    assert extractor.resize_hw == (32, 32)
+    assert extractor.bucket_rounding == 0  # resize overrides rounding
+    assert extractor.extract() == 3
+
+    from mmgclip_tpu.ingest.png_reader import decode_png
+
+    # oracle for the square image: host-side area resize in the 16-bit
+    # domain, then the plain (unmasked) encode at the resized shape
+    raw = to_16bit(jnp.asarray(decode_png(paths[0])[None]))
+    pre = resize2d(raw, (32, 32), method="area")
+    x = normalize_16bit(pre)[..., None]
+    exact = np.asarray(extractor.module.apply(extractor.params, x))
+    feats = np.load(os.path.join(
+        str(tmp_path / "enc"), *paths[0].strip(os.sep).split(os.sep)[-4:]
+    ).replace(".png", ".npy"))
+    np.testing.assert_allclose(feats.reshape(1, -1), exact, atol=1e-4)
+
+
+def test_encode_window_knob(tmp_path):
+    """encode_window reaches the jitted encode program and changes features
+    exactly as the windowed transform predicts."""
+    import pandas as pd
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+    from fixtures import write_png
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.base.features_export_dir = str(tmp_path / "enc")
+    cfg.dataset.config.encode_window = [30000, 20000]
+
+    p = str(tmp_path / "w.png")
+    write_png(p, size=32, seed=6)
+    df = pd.DataFrame({"image_path": [p]})
+    extractor = ImageFeatureExtractor(config=cfg, dataset=df, batch_size=1)
+    assert extractor.window == (30000.0, 20000.0)
+    assert extractor.extract() == 1
+
+    from mmgclip_tpu.ingest.png_reader import decode_png
+
+    pixels = jnp.asarray(decode_png(p)[None])
+    x = intensity_transform(pixels, window=(30000, 20000))[..., None]
+    exact = np.asarray(extractor.module.apply(extractor.params, x))
+    feats = np.load(os.path.join(
+        str(tmp_path / "enc"), *p.strip(os.sep).split(os.sep)[-4:]
+    ).replace(".png", ".npy"))
+    np.testing.assert_allclose(feats.reshape(1, -1), exact, atol=1e-5)
+
+
+def test_unfused_int8_warns(monkeypatch):
+    """quant=int8 without use_fused_blocks is a measured slowdown (0.96x,
+    PERF.md) — config resolution must say so loudly (VERDICT r4 weak #7)."""
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import encode as enc
+    from mmgclip_tpu.ingest.encode import load_convnext_tower
+
+    warnings = []
+    monkeypatch.setattr(enc.logger, "warning",
+                        lambda msg, *a: warnings.append(str(msg)))
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config(
+        {"micro": True, "in_channels": 1, "quant": "int8"})
+    load_convnext_tower(cfg)
+    assert any("use_fused_blocks" in w and "slowdown" in w for w in warnings)
+
+    # the fused+int8 combination is the blessed one: no warning
+    warnings.clear()
+    cfg.networks.image_encoder.config["use_fused_blocks"] = True
+    load_convnext_tower(cfg)
+    assert not any("slowdown" in w for w in warnings)
