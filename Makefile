@@ -35,6 +35,9 @@ bench-text:      ## text-tower flash-vs-XLA attention A/B
 bench-serve:     ## serving latency + micro-batched throughput over TCP JSONL
 	BENCH_MODE=serve python bench.py
 
+bench-ingest:    ## north-star chain: native uint8 -> fused resize+window+encode
+	BENCH_MODE=ingest python bench.py
+
 dryrun:          ## multi-chip dryrun on a virtual 8-device CPU mesh (dp/tp/sp/pp/ep/zero1/multihost)
 	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
 

@@ -24,12 +24,26 @@ Modes (env BENCH_MODE):
     serving path (serve.py TCP JSONL protocol + dispatcher on a warm
     InferenceEngine); the reference has no serving path at all.
 
-vs_baseline: encode -> value / 5000 (BASELINE.json north star); train/report
--> speedup of the TPU-native design over the reference-shaped loop measured
-in the same process (the reference publishes no throughput numbers).
+  ingest — the NORTH-STAR chain end to end: native-resolution uint8
+    mammograms cross PCIe and decode->crop/pad->RESIZE->intensity
+    windowing->normalization->tower run as ONE fused device program
+    (ops/resize.py + ops/preprocess.py + the fused-block tower).  This is
+    the size-basis answer for the 5,000 img/s/chip target: unresized
+    native-res encode is physically impossible on v5e (the encode mode's
+    per-layer rooflines price it), the resized chain is the supported
+    route.
 
-Env knobs: BENCH_IMAGE_SIZE (256), BENCH_BATCH (128), BENCH_ITERS (10),
-BENCH_WINDOWS (4), BENCH_DTYPE (bfloat16|float32).
+vs_baseline: encode/ingest -> value / 5000 (BASELINE.json north star);
+train/report -> speedup of the TPU-native design over the reference-shaped
+loop measured in the same process (the reference publishes no throughput
+numbers); serve -> concurrent (micro-batched) requests/sec over the
+sequential per-request rate (the reference-shaped execution model: one
+device call per request).
+
+Env knobs: BENCH_IMAGE_SIZE (256, or 'HxW' e.g. 2294x1914 for true-FFDM
+buckets), BENCH_BATCH (128), BENCH_ITERS (10), BENCH_WINDOWS (4),
+BENCH_DTYPE (bfloat16|float32); ingest adds BENCH_NATIVE_SIZE (2294x1914)
+and BENCH_CANVAS (256).
 """
 
 from __future__ import annotations
@@ -176,7 +190,19 @@ def _true_h2d_rate(jax, pixels, iters, windows):
     return whole_window, "whole-window fallback (diff below noise)"
 
 
-def _convnext_layer_costs(size: int, in_ch: int = 1, dtype_bytes: int = 2,
+def _parse_hw(value, default: int = 256):
+    """BENCH_IMAGE_SIZE accepts '256' (square) or '2294x1914' (true-FFDM
+    bucket shapes — the reference encodes at native resolution)."""
+    if isinstance(value, (tuple, list)):
+        return int(value[0]), int(value[1])
+    raw = str(value if value is not None else default).strip().lower()
+    if "x" in raw:
+        h, w = raw.split("x", 1)
+        return int(h), int(w)
+    return int(raw), int(raw)
+
+
+def _convnext_layer_costs(size, in_ch: int = 1, dtype_bytes: int = 2,
                           batch: int = 128, *, fused: bool = False,
                           int8: bool = False, gelu_flops: int = 15):
     """Analytic per-image cost rows ``(name, mm_flops, vpu_flops, hbm_bytes,
@@ -198,18 +224,19 @@ def _convnext_layer_costs(size: int, in_ch: int = 1, dtype_bytes: int = 2,
     terms run at the int8 rate with no extra HBM traffic."""
     dims, depths = (96, 192, 384, 768), (3, 3, 9, 3)
     dt = dtype_bytes
+    size_h, size_w = _parse_hw(size)
     layers = []  # (name, mm_flops, vpu_flops, bytes, int8_mm)
-    h = w = size // 4
+    h, w = -(-size_h // 4), -(-size_w // 4)
     c = dims[0]
     layers.append(("stem_conv", h * w * c * (4 * 4 * in_ch) * 2, 0,
-                   (size * size * in_ch + h * w * c) * dt
+                   (size_h * size_w * in_ch + h * w * c) * dt
                    + 4 * 4 * in_ch * c * dt // batch, False))
     layers.append(("stem_ln", 0, h * w * c * 8, 2 * h * w * c * dt, False))
     for s, (c, depth) in enumerate(zip(dims, depths)):
         if s > 0:
             prev = dims[s - 1]
             layers.append((f"down{s}_ln", 0, h * w * prev * 8, 2 * h * w * prev * dt, False))
-            h, w = h // 2, w // 2
+            h, w = -(-h // 2), -(-w // 2)  # ceil: br_pad SAME at odd sizes
             layers.append((f"down{s}_conv", h * w * c * (2 * 2 * prev) * 2, 0,
                            (4 * h * w * prev + h * w * c) * dt
                            + 4 * prev * c * dt // batch, False))
@@ -309,6 +336,11 @@ def _v5e_per_layer_projection(size: int, mfu: float, *, int8: bool = False,
         g["bound"] = max(("mxu", g["_t_mxu"]), ("vpu", g["_t_vpu"]),
                          ("hbm", g["_t_hbm"]), key=lambda kv: kv[1])[0]
         g["hbm_bound_time_frac"] = round(g["_t_hbm"] / max(total_t, 1e-12), 2)
+        # share of the WHOLE projected image time this group costs — the
+        # itemization of what the remaining unfused glue (stem/downsample
+        # convs + their LNs) leaves on the table vs speed-of-light
+        # (VERDICT r4 next #8)
+        g["time_frac"] = round(total_t / max(t_sol, 1e-12), 3)
         del g["_t_mxu"], g["_t_vpu"], g["_t_hbm"]
         for key in ("gflops", "mbytes", "mm_gflops"):
             g[key] = round(g[key], 2)
@@ -323,7 +355,9 @@ def bench_encode() -> dict:
     from mmgclip_tpu.ops.preprocess import intensity_transform
     from dataclasses import replace as dc_replace
 
-    size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
+    size = _parse_hw(os.environ.get("BENCH_IMAGE_SIZE"))  # (H, W); 'HxW' for
+    # true-FFDM buckets — the reference encodes at native resolution
+    size_h, size_w = size
     batch = int(os.environ.get("BENCH_BATCH", 128))
     # 16 iters/window amortizes the ~0.5s-per-fetch window fence on the
     # tunnel (at 10 the fence alone skews fast windows ~30%)
@@ -344,7 +378,9 @@ def bench_encode() -> dict:
     # stem/LN skeleton instead of the kernels' actual math error
     config = ConvNeXtConfig(in_channels=1, dtype=dtype, unroll_blocks=unroll,
                             layer_scale_init=0.1)
-    module, params = init_convnext(config, seed=0, image_size=size)
+    # init shapes don't reach the params (convs/LN are spatial-size-free):
+    # a small dummy keeps init cheap at native-res bench sizes
+    module, params = init_convnext(config, seed=0, image_size=64)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
     )
@@ -359,7 +395,7 @@ def bench_encode() -> dict:
     # can never be deduped
     n_buf = 4
     host_bufs = [
-        rng.integers(0, 256, size=(batch, size, size), dtype=np.uint8)
+        rng.integers(0, 256, size=(batch, size_h, size_w), dtype=np.uint8)
         for _ in range(n_buf)
     ]
     pixels = host_bufs[0]
@@ -397,13 +433,31 @@ def bench_encode() -> dict:
     # measured FLOPs for the UNFUSED reference program from XLA cost
     # analysis — the basis for mfu and every v5e projection (the fused
     # variants run the same matmul FLOPs; detail.flops_basis discloses it)
+    def _cost_analysis(fn):
+        cost = fn.lower(device_pixels).compile().cost_analysis()
+        return cost[0] if isinstance(cost, (list, tuple)) else cost
+
     try:
-        cost = encode.lower(device_pixels).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
+        cost = _cost_analysis(encode)
         flops_per_image = float(cost.get("flops", 0.0)) / batch
+        # XLA's OWN traffic estimate for the optimized HLO — an accounting
+        # INDEPENDENT of this bench's analytic cost model (VERDICT r4 weak
+        # #3: the fused-path HBM claim needed a non-self-built witness).
+        # For the fused program the Pallas custom calls are opaque to XLA,
+        # so its operand+output bytes are exactly the kernel's HBM surface
+        # (~2 element-passes/block); the ratio vs the unfused program is
+        # the compiler's view of the traffic collapse the kernel claims.
+        unfused_bytes_per_image = float(cost.get("bytes accessed", 0.0)) / batch
     except Exception:
         flops_per_image = 0.0
+        unfused_bytes_per_image = 0.0
+    fused_bytes_per_image = 0.0
+    if encode_fused is not None:
+        try:
+            fused_bytes_per_image = float(
+                _cost_analysis(encode_fused).get("bytes accessed", 0.0)) / batch
+        except Exception:
+            fused_bytes_per_image = 0.0
 
     # NOTE: on the axon tunnel block_until_ready can return before the
     # device finishes; every timed loop ends with a real D2H fetch
@@ -641,7 +695,7 @@ def bench_encode() -> dict:
         size, mfu, fused=True, int8=True, batch=batch, gelu_flops=8)
     analytic_flops = sum(mf + vf for _n, mf, vf, _b, _q in _convnext_layer_costs(size, batch=batch))
     return {
-        "metric": f"images/sec/chip (CLIP encode, {size}x{size} gray, bf16, batch {batch})",
+        "metric": f"images/sec/chip (CLIP encode, {size_h}x{size_w} gray, bf16, batch {batch})",
         # the MEDIAN double-buffered window (VERDICT r2 #1d): the typical
         # rate, not the flattering tail; best window stays in detail
         "value": round(median_rate, 1),
@@ -671,6 +725,21 @@ def bench_encode() -> dict:
             "overlap_efficiency": round(overlap_efficiency, 3),
             "flops_per_image_g": round(flops_per_image / 1e9, 3),
             "analytic_flops_per_image_g": round(analytic_flops / 1e9, 3),
+            "xla_bytes_accessed_per_image_mb": {
+                "unfused": round(unfused_bytes_per_image / 1e6, 2),
+                **({"fused": round(fused_bytes_per_image / 1e6, 2),
+                    "traffic_ratio": round(
+                        unfused_bytes_per_image / max(fused_bytes_per_image, 1.0), 2)}
+                   if fused_bytes_per_image else {}),
+                "basis": (
+                    "XLA cost_analysis 'bytes accessed' on the optimized HLO "
+                    "— the COMPILER's traffic accounting, independent of this "
+                    "bench's analytic model; Pallas custom calls count their "
+                    "operand+output bytes (the kernel's entire HBM surface), "
+                    "so the unfused/fused ratio witnesses the fused kernel's "
+                    "element-pass collapse"
+                ),
+            },
             "flops_basis": (
                 "flops/achieved-TFLOPs/mfu come from the UNFUSED reference "
                 "program (XLA cost analysis x compute_only rate); the fused "
@@ -1115,31 +1184,42 @@ def bench_serve() -> dict:
     state: dict = {}
 
     def run_server():
-        loop = asyncio.new_event_loop()
-        asyncio.set_event_loop(loop)
-        aready = asyncio.Event()
-        bound: list = []
-        task = loop.create_task(serve_socket(
-            engine, host="127.0.0.1", port=0, ready_event=aready, bound_addr=bound))
-
-        async def announce():
-            await aready.wait()
-            state["port"] = bound[0][1]
-            state["loop"], state["task"] = loop, task
-            ready.set()
-
-        loop.create_task(announce())
+        # any failure before the port announcement (bind error, import,
+        # event-loop setup) is stashed and re-raised on the MAIN thread —
+        # a daemon thread dying silently would otherwise stall the 120s
+        # ready.wait and surface as a causeless generic error (ADVICE r4)
         try:
-            loop.run_until_complete(task)
-        except asyncio.CancelledError:
-            pass
-        finally:
-            loop.close()
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+            aready = asyncio.Event()
+            bound: list = []
+            task = loop.create_task(serve_socket(
+                engine, host="127.0.0.1", port=0, ready_event=aready, bound_addr=bound))
+
+            async def announce():
+                await aready.wait()
+                state["port"] = bound[0][1]
+                state["loop"], state["task"] = loop, task
+                ready.set()
+
+            loop.create_task(announce())
+            try:
+                loop.run_until_complete(task)
+            except asyncio.CancelledError:
+                pass
+            finally:
+                loop.close()
+        except BaseException as exc:  # noqa: BLE001 - stash for the main thread
+            state["error"] = exc
+            ready.set()
+            raise
 
     thread = threading.Thread(target=run_server, daemon=True)
     thread.start()
     if not ready.wait(timeout=120):
-        raise RuntimeError("serve_socket failed to come up")
+        raise RuntimeError("serve_socket failed to come up (no port announcement)")
+    if "error" in state:
+        raise RuntimeError("serve_socket failed to come up") from state["error"]
     port = state["port"]
 
     import base64
@@ -1236,12 +1316,192 @@ def bench_serve() -> dict:
     }
 
 
+def bench_ingest() -> dict:
+    """The north-star ingest chain, measured end to end at NATIVE input.
+
+    BASELINE.json's target — ">= 5,000 mammograms/s/chip, the high-res
+    ingest path (decode, crop/pad, resize, intensity windowing,
+    normalization) fused into XLA/Pallas" — needs a SIZE BASIS to be
+    answerable: at unresized native resolution the tower alone costs more
+    FLOPs than a v5e has (2294x1914 ~ 16x the 47 GFLOP/image measured at
+    512^2 -> the per-layer SOL lands near 100 img/s; 5,000 is physically
+    impossible in bf16).  The supported route is the chain this mode runs:
+    native uint8 crosses PCIe (1 byte/pixel), then resize (ops/resize.py,
+    two MXU matmuls) -> intensity windowing -> normalization -> the
+    fused-tanh tower execute as ONE XLA program at canvas FLOPs.
+
+    value = measured e2e img/s on this backend (H2D-bound on the tunnel);
+    detail carries the chain compute rate, the resize-only cost, the XLA
+    FLOPs, and the v5e projection split into its compute and PCIe terms so
+    the north-star verdict is explicit.  vs_baseline = value / 5000.
+
+    Env knobs: BENCH_NATIVE_SIZE (2294x1914), BENCH_CANVAS (256),
+    BENCH_BATCH (16), BENCH_ITERS (4), BENCH_WINDOWS (3),
+    BENCH_WINDOW ('center,width', default full-range = reference-exact),
+    BENCH_PCIE_GBPS (8.0), BENCH_TINY=1 (CPU smoke: micro tower).
+    """
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from dataclasses import replace as dc_replace
+
+    from mmgclip_tpu.models.convnext import ConvNeXt, ConvNeXtConfig, init_convnext, _valid_mask
+    from mmgclip_tpu.ops.preprocess import normalize_16bit, to_16bit
+    from mmgclip_tpu.ops.resize import fit_shape, resize_to_canvas
+
+    native = _parse_hw(os.environ.get("BENCH_NATIVE_SIZE", "2294x1914"))
+    canvas = _parse_hw(os.environ.get("BENCH_CANVAS", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    iters = int(os.environ.get("BENCH_ITERS", 4))
+    windows = int(os.environ.get("BENCH_WINDOWS", 3))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+    win_env = os.environ.get("BENCH_WINDOW", "32767.5,65535")
+    window = tuple(float(v) for v in win_env.split(","))
+    tiny = os.environ.get("BENCH_TINY", "").strip().lower() in ("1", "true", "yes")
+
+    base = ConvNeXtConfig.micro() if tiny else ConvNeXtConfig.tiny()
+    # the product fast path: fused blocks + tanh GELU
+    # (configs/networks/clip_convnext_fused_tanh_bert.yaml)
+    config = dc_replace(base, in_channels=1, dtype=dtype, layer_scale_init=0.1,
+                        use_fused_blocks=True, gelu="tanh")
+    module, params = init_convnext(config, seed=0, image_size=64)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+    @jax.jit
+    def chain(pixels_u8):  # [n, H, W] native uint8 -> pooled features
+        raw = to_16bit(pixels_u8)
+        y, valid_hw = resize_to_canvas(raw, canvas, method="area")
+        x = normalize_16bit(y, window=window)[..., None].astype(dtype)
+        x = x * _valid_mask(x, valid_hw)
+        return module.apply(params, x, valid_hw=valid_hw)
+
+    @jax.jit
+    def resize_only(pixels_u8):
+        raw = to_16bit(pixels_u8)
+        y, valid_hw = resize_to_canvas(raw, canvas, method="area")
+        return normalize_16bit(y, window=window).astype(dtype), valid_hw
+
+    rng = np.random.default_rng(0)
+    n_buf = 3
+    host_bufs = [rng.integers(0, 256, size=(batch, *native), dtype=np.uint8)
+                 for _ in range(n_buf)]
+    device_pixels = jnp.asarray(host_bufs[0])
+    chain(device_pixels).block_until_ready()  # warm/compile
+    resize_only(device_pixels)[0].block_until_ready()
+
+    def fence(result):
+        return float(np.asarray(result[0, :4]).sum())
+
+    def timed_rate(fn, fetch=lambda out: fence(out)):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn(device_pixels)
+        fetch(out)
+        return batch * iters / (time.perf_counter() - start)
+
+    chain_rate = max(timed_rate(chain) for _ in range(windows))
+    resize_rate = max(
+        timed_rate(resize_only, fetch=lambda out: fence(out[0]))
+        for _ in range(windows))
+
+    # e2e: double-buffered H2D of native uint8 + the fused chain
+    def e2e_window():
+        start = time.perf_counter()
+        dev = jax.device_put(host_bufs[0])
+        for i in range(iters):
+            nxt = jax.device_put(host_bufs[(i + 1) % n_buf]) if i + 1 < iters else None
+            out = chain(dev)
+            dev = nxt
+        fence(out)
+        return batch * iters / (time.perf_counter() - start)
+
+    e2e_window()  # warm the transfer buffers
+    e2e_rates = [e2e_window() for _ in range(windows)]
+    median_rate = float(np.median(e2e_rates))
+
+    try:
+        cost = chain.lower(device_pixels).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_per_image = float(cost.get("flops", 0.0)) / batch
+    except Exception:
+        flops_per_image = 0.0
+
+    # ---- v5e projection: compute term (resize matmuls + canvas tower) vs
+    # the PCIe term (native uint8 bytes/image at the assumed host link)
+    roofline = _matmul_roofline_tflops(jax, dtype)
+    mfu_env = os.environ.get("BENCH_ASSUME_MFU")
+    mfu = float(mfu_env) if mfu_env else 0.86  # r4's measured encode MFU
+    vh, vw = fit_shape(native, canvas)
+    # dense separable resample: Rh[vh,H] @ x[H,W] then [vh,W] @ Rw^T[W,vw]
+    resize_flops = 2 * vh * native[0] * native[1] + 2 * vh * vw * native[1]
+    t_resize = resize_flops / (197e12 * mfu)
+    # resize HBM: read u8 native + write the canvas f32 (the [vh, W]
+    # intermediate fuses with the second matmul)
+    t_resize_hbm = (native[0] * native[1] + 4 * canvas[0] * canvas[1]) / (819e9 * 0.8)
+    _sol, tower_rate, _summary = _v5e_per_layer_projection(
+        canvas, mfu, fused=True, batch=batch, gelu_flops=8)
+    t_chain = max(t_resize, t_resize_hbm) + 1.0 / tower_rate
+    v5e_compute = 1.0 / t_chain
+    pcie_gbps = float(os.environ.get("BENCH_PCIE_GBPS", 8.0))
+    bytes_per_image = native[0] * native[1]  # uint8 over the link
+    v5e_pcie = pcie_gbps * 1e9 / bytes_per_image
+    v5e_e2e = min(v5e_compute, v5e_pcie)
+
+    return {
+        "metric": (f"images/sec/chip (native {native[0]}x{native[1]} uint8 -> "
+                   f"fused resize+window+normalize+encode @ {canvas[0]}x{canvas[1]})"),
+        "value": round(median_rate, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(median_rate / 5000.0, 4),
+        "detail": {
+            **({"platform_note": _PLATFORM_NOTE} if _PLATFORM_NOTE else {}),
+            "e2e_windows_img_per_sec": [round(r, 1) for r in e2e_rates],
+            "chain_compute_img_per_sec": round(chain_rate, 1),
+            "resize_only_img_per_sec": round(resize_rate, 1),
+            "flops_per_image_g": round(flops_per_image / 1e9, 3),
+            "native_bytes_per_image_mb": round(bytes_per_image / 1e6, 3),
+            "resample": {"method": "area", "canvas": list(canvas),
+                         "valid_hw": [vh, vw], "window": list(window),
+                         "resize_gflops_per_image": round(resize_flops / 1e9, 3)},
+            "v5e_projection": {
+                "compute_img_per_sec": round(v5e_compute, 0),
+                "tower_term_img_per_sec": round(tower_rate, 0),
+                "pcie_ceiling_img_per_sec": round(v5e_pcie, 0),
+                "pcie_gbps_assumed": pcie_gbps,
+                "e2e_img_per_sec": round(v5e_e2e, 0),
+                "bound": "pcie" if v5e_pcie < v5e_compute else "compute",
+                "meets_north_star": bool(v5e_e2e >= 5000),
+                "basis": (
+                    "compute = dense separable resize matmuls (197 bf16 "
+                    f"TFLOP/s x MFU {mfu:.2f}) + the fused-tanh tower's "
+                    "per-layer v5e projection at the canvas size; pcie = "
+                    "native uint8 bytes/image over BENCH_PCIE_GBPS (v5e "
+                    "hosts share PCIe gen3 across chips — 8 GB/s/chip is "
+                    "the conservative default; pass the deployment's real "
+                    "share). The UNRESIZED native-res tower is priced by "
+                    "the encode mode's per-layer rooflines "
+                    "(BENCH_IMAGE_SIZE=2294x1914): its SOL falls orders "
+                    "below 5,000 — resize is the only physical route."
+                ),
+            },
+            "fidelity_note": (
+                "area resample (oracle-tested vs tf/torch, "
+                "tests/test_resize.py); full-range window is byte-identical "
+                "to the reference normalization; fused-tanh tower feature "
+                "cosine >= 0.99998 vs the exact tower (PERF.md), AUC-parity "
+                "gated by tests"
+            ),
+            "tiny": tiny,
+        },
+    }
+
+
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "encode")
     result = {
         "encode": bench_encode, "train": bench_train,
         "report": bench_report, "text": bench_text,
-        "serve": bench_serve,
+        "serve": bench_serve, "ingest": bench_ingest,
     }[mode]()
     print(json.dumps(result))
 

@@ -58,6 +58,22 @@ def _inline_features(engine: InferenceEngine, request: dict) -> np.ndarray:
                 f"features_b64 holds {buf.size} float32s, not a multiple of "
                 f"the feature dim {dim}"
             )
+        rows = buf.size // dim
+        # an explicit row count catches client bugs (a concatenated or
+        # double-sent buffer silently becomes k results otherwise); a flat
+        # multi-row buffer WITHOUT the count is promoted but logged (ADVICE)
+        if "features_rows" in request:
+            expected = int(request["features_rows"])
+            if rows != expected:
+                raise ValueError(
+                    f"features_b64 holds {rows} row(s) of dim {dim}, but "
+                    f"features_rows={expected}"
+                )
+        elif rows > 1:
+            logger.info(
+                f"features_b64 promoted to {rows} rows of dim {dim}; pass "
+                "features_rows to make multi-row payloads explicit."
+            )
         return buf.reshape(-1, dim)
     return np.asarray(request["features"], np.float32)
 

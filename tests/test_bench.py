@@ -33,6 +33,9 @@ TINY_ENV = {
     "BENCH_SERVE_TINY": "1",
     "BENCH_SERVE_CLIENTS": "4",
     "BENCH_SERVE_REQS": "4",
+    "BENCH_TINY": "1",
+    "BENCH_NATIVE_SIZE": "96x80",
+    "BENCH_CANVAS": "32",
 }
 
 
@@ -200,3 +203,65 @@ def test_fused_projection_prices_banded_kernel_at_native_res():
     assert stage0_mm_bytes(256) == 2 * hw256 * c * dt * depth + wamort
     # 512: banded kernel -> 3 reads + 1 write of x
     assert stage0_mm_bytes(512) == 4 * hw512 * c * dt * depth + wamort
+
+
+def test_bench_ingest_smoke():
+    result = _run("ingest")
+    assert result["unit"] == "images/sec/chip"
+    assert result["value"] > 0
+    assert result["vs_baseline"] == pytest.approx(
+        result["value"] / 5000.0, abs=1e-4)  # vs_baseline rounds to 4 places
+    detail = result["detail"]
+    for key in ("chain_compute_img_per_sec", "resize_only_img_per_sec",
+                "flops_per_image_g", "native_bytes_per_image_mb",
+                "resample", "v5e_projection", "fidelity_note"):
+        assert key in detail
+    assert detail["tiny"] is True
+    proj = detail["v5e_projection"]
+    for key in ("compute_img_per_sec", "tower_term_img_per_sec",
+                "pcie_ceiling_img_per_sec", "e2e_img_per_sec",
+                "bound", "meets_north_star", "basis"):
+        assert key in proj
+    # the e2e projection is min(compute, pcie) by construction
+    assert proj["e2e_img_per_sec"] == pytest.approx(
+        min(proj["compute_img_per_sec"], proj["pcie_ceiling_img_per_sec"]))
+    assert proj["bound"] in ("pcie", "compute")
+    # resize cannot be slower than the full chain through the tower
+    assert detail["resize_only_img_per_sec"] >= detail["chain_compute_img_per_sec"] * 0.5
+    rs = detail["resample"]
+    assert rs["method"] == "area" and len(rs["valid_hw"]) == 2
+
+
+def test_parse_hw_and_rect_cost_model():
+    """BENCH_IMAGE_SIZE accepts HxW; the cost model handles rectangles and
+    odd (ceil-padded) sizes without dropping rows."""
+    import bench
+
+    assert bench._parse_hw("256") == (256, 256)
+    assert bench._parse_hw("2294x1914") == (2294, 1914)
+    assert bench._parse_hw((64, 48)) == (64, 48)
+    assert bench._parse_hw(None, default=128) == (128, 128)
+
+    sq = bench._convnext_layer_costs(256, batch=128)
+    rect = bench._convnext_layer_costs((256, 128), batch=128)
+    assert len(sq) == len(rect)
+    # a half-width image halves every spatial term (flops monotonicity)
+    total = lambda rows: sum(mf + vf for _n, mf, vf, _b, _q in rows)  # noqa: E731
+    assert total(rect) < total(sq)
+    # odd native shape survives the ceil chain (573 -> 287 -> 144 -> 72)
+    bench._convnext_layer_costs((2294, 1914), batch=16)
+
+
+def test_per_stage_time_frac_sums_to_one():
+    """The glue itemization (VERDICT r4 next #8): per-group time_frac over
+    speed-of-light time must account for ~the whole projected image."""
+    import bench
+
+    _sol, _der, summary = bench._v5e_per_layer_projection(
+        256, 0.86, fused=True, batch=128, gelu_flops=8)
+    fracs = {g: v["time_frac"] for g, v in summary.items()}
+    assert all(0 <= f <= 1 for f in fracs.values())
+    assert sum(fracs.values()) == pytest.approx(1.0, abs=0.02)
+    # the fused blocks dominate; the unfused glue share is the stated gap
+    glue = sum(f for g, f in fracs.items() if g.startswith(("stem", "down")))
+    assert 0 < glue < 0.5
