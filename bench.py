@@ -269,10 +269,15 @@ def _convnext_layer_costs(size, in_ch: int = 1, dtype_bytes: int = 2,
             # images) reads x ~3x via the prev/cur/next band blocks; when
             # no band divisor fits either, the op runs the unfused lax math
             from mmgclip_tpu.ops.fused_block import (
-                _VMEM_BUDGET, _pick_band_h, _pick_tile_h, _vmem_working_set)
+                _VMEM_BUDGET, _pad_to_band, _pick_band_h, _pick_tile_h,
+                _vmem_working_set)
 
             whole = _vmem_working_set(h, w, c, dt, _pick_tile_h(h, w, c)) < _VMEM_BUDGET
-            banded = not whole and _pick_band_h(h, w, c, dt) is not None
+            # mirror the runtime gate exactly: divisor-free heights pad to
+            # the nearest band-friendly height (ops/fused_block.py
+            # _pad_to_band) — priced as banded at the padded row count
+            banded = not whole and (_pick_band_h(h, w, c, dt) is not None
+                                    or _pad_to_band(h, w, c, dt) is not None)
             x_reads = 1 if whole else (3 if banded else None)
             if x_reads is None:
                 rows = unfused_block_rows()
@@ -634,6 +639,12 @@ def bench_encode() -> dict:
         except Exception as exc:  # transient runtime/fetch failure: record,
             fused_detail["fused_error"] = f"{type(exc).__name__}: {exc}"[:300]
             fused_compute_rate = None  # keep the ONE-JSON-line invariant
+    # BENCH_VARIANTS limits the extra fused-variant A/Bs (comma list among
+    # fused_int8, fused_tanh, fused_int8_tanh; default all) — native-res
+    # shapes pay a long first compile per variant on the tunnel
+    variants_env = os.environ.get("BENCH_VARIANTS")
+    selected = (None if variants_env is None
+                else {v.strip() for v in variants_env.split(",") if v.strip()})
     if bench_fused:
         for prefix, kwargs in (
             # fused + int8: in-kernel int8 pointwise matmuls (per-chunk
@@ -649,6 +660,8 @@ def bench_encode() -> dict:
             ("fused_int8_tanh",
              dict(use_fused_blocks=True, quant="int8", gelu="tanh")),
         ):
+            if selected is not None and prefix not in selected:
+                continue
             try:
                 rate, stats = measure_variant(
                     make_encode(ConvNeXt(dc_replace(config, **kwargs))))
@@ -1471,6 +1484,7 @@ def bench_ingest() -> dict:
                 "e2e_img_per_sec": round(v5e_e2e, 0),
                 "bound": "pcie" if v5e_pcie < v5e_compute else "compute",
                 "meets_north_star": bool(v5e_e2e >= 5000),
+                "pcie_gbps_needed_for_5k": round(5000 * bytes_per_image / 1e9, 1),
                 "basis": (
                     "compute = dense separable resize matmuls (197 bf16 "
                     f"TFLOP/s x MFU {mfu:.2f}) + the fused-tanh tower's "

@@ -48,7 +48,7 @@ def workspace(tmp_path_factory):
     # pixel_class_signal: classes separate in PIXEL space so encode->train
     # actually learns, making the AUC gate meaningful
     base, annotated, lists_dir, _ = build_image_label_tree(
-        str(root), n_benign=10, n_malignant=10, image_size=32,
+        str(root), n_benign=16, n_malignant=16, image_size=32,
         feature_store=False, pixel_class_signal=True,
     )
     return {"root": root, "base": base, "annotated": annotated, "lists": lists_dir}
@@ -67,8 +67,12 @@ def _cfg(ws, run_dir, encoder_overrides=None):
     cfg.networks.text_encoder = Config({"name": "BertEncoder", **TINY_TEXT})
     cfg.networks.image_encoder.config = Config(
         {"micro": True, "in_channels": 1, **(encoder_overrides or {})})
-    cfg.scheduler.config.epochs = 3
-    cfg.dataloader.train.batch_size = 4
+    # the learnable-fixture recipe test_e2e_parity.py reaches AUC >= 0.95
+    # with: 10 epochs, lr 5e-3, batch 8, no early stop
+    cfg.scheduler.config.epochs = 10
+    cfg.base.patience = 10
+    cfg.optimizer.config.learning_rate = 5e-3
+    cfg.dataloader.train.batch_size = 8
     cfg.dataloader.valid.batch_size = 2
     cfg.dataloader.test.batch_size = 2
     return cfg
