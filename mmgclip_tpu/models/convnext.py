@@ -223,13 +223,35 @@ class ConvNeXt(nn.Module):
 
         for stage, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
             if stage > 0:
-                x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_{stage}_norm")(x)
-                if valid_hw is not None:
-                    # LN(0) is nonzero; re-zero so the strided conv's SAME
-                    # boundary window matches the exact-shape run
-                    x = x * _valid_mask(x, valid_hw)
-                x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), name=f"downsample_{stage}_conv",
-                            padding=br_pad(x.shape[1], x.shape[2], 2), dtype=cfg.dtype)(x)
+                norm = nn.LayerNorm(epsilon=1e-6, name=f"downsample_{stage}_norm")
+                conv = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), name=f"downsample_{stage}_conv",
+                               padding=br_pad(x.shape[1], x.shape[2], 2), dtype=cfg.dtype)
+                if cfg.use_fused_blocks and valid_hw is None:
+                    # fused LN+downsample kernel (ops/fused_downsample.py):
+                    # the LN output never touches HBM.  Bucketed (valid_hw)
+                    # runs keep the lax path — the per-image mask between LN
+                    # and conv is not expressible in the global-pad kernel.
+                    # Dummy calls register the SAME param tree the lax path
+                    # owns (the outputs are unused -> DCE'd); the kernel then
+                    # reads those params directly.
+                    from ..ops.fused_block import FORCE_INTERPRET
+                    from ..ops.fused_downsample import fused_ln_downsample
+
+                    _ = norm(x[:, :1, :1, :])
+                    _ = conv(jnp.zeros((1, 2, 2, x.shape[-1]), cfg.dtype))
+                    p_ln = self.variables["params"][f"downsample_{stage}_norm"]
+                    p_cv = self.variables["params"][f"downsample_{stage}_conv"]
+                    x = fused_ln_downsample(
+                        x, p_ln["scale"], p_ln["bias"],
+                        p_cv["kernel"].astype(cfg.dtype),
+                        p_cv["bias"].astype(cfg.dtype), FORCE_INTERPRET)
+                else:
+                    x = norm(x)
+                    if valid_hw is not None:
+                        # LN(0) is nonzero; re-zero so the strided conv's SAME
+                        # boundary window matches the exact-shape run
+                        x = x * _valid_mask(x, valid_hw)
+                    x = conv(x)
                 if valid_hw is not None:
                     valid_hw = -(-valid_hw // 2)
                     x = x * _valid_mask(x, valid_hw)
