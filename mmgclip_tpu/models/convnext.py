@@ -226,17 +226,22 @@ class ConvNeXt(nn.Module):
                 norm = nn.LayerNorm(epsilon=1e-6, name=f"downsample_{stage}_norm")
                 conv = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), name=f"downsample_{stage}_conv",
                                padding=br_pad(x.shape[1], x.shape[2], 2), dtype=cfg.dtype)
-                if cfg.use_fused_blocks and valid_hw is None:
+                from ..ops.fused_block import FORCE_INTERPRET
+                from ..ops.fused_downsample import (fused_ln_downsample,
+                                                    kernel_available)
+
+                if (cfg.use_fused_blocks and valid_hw is None
+                        and kernel_available(x.shape, dim, x.dtype.itemsize,
+                                             FORCE_INTERPRET)):
                     # fused LN+downsample kernel (ops/fused_downsample.py):
                     # the LN output never touches HBM.  Bucketed (valid_hw)
-                    # runs keep the lax path — the per-image mask between LN
-                    # and conv is not expressible in the global-pad kernel.
-                    # Dummy calls register the SAME param tree the lax path
-                    # owns (the outputs are unused -> DCE'd); the kernel then
-                    # reads those params directly.
-                    from ..ops.fused_block import FORCE_INTERPRET
-                    from ..ops.fused_downsample import fused_ln_downsample
-
+                    # runs keep the flax path — the per-image mask between LN
+                    # and conv is not expressible in the global-pad kernel —
+                    # and so does the off-TPU fallback (kernel_available), so
+                    # the knob stays byte-neutral off TPU.  Dummy calls
+                    # register the SAME param tree the flax path owns (the
+                    # outputs are unused -> DCE'd); the kernel then reads
+                    # those params directly.
                     _ = norm(x[:, :1, :1, :])
                     _ = conv(jnp.zeros((1, 2, 2, x.shape[-1]), cfg.dtype))
                     p_ln = self.variables["params"][f"downsample_{stage}_norm"]

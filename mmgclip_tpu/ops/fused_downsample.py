@@ -14,11 +14,14 @@ drops to one read of x + one write of the 4x-smaller y (~1.25 passes).
 
 Structure: grid (n, out-bands).  Stride == kernel means output rows never
 share input rows — no halo, one input band block of 2*band_h rows per
-program.  Per row-chunk: LN in fp32, zero rows/cols beyond the true (h, w)
-(reproducing the model's LN-then-zero-pad order at odd sizes exactly), then
-TWO MXU matmuls — the (dy=0, dy=1) input-row parities each flatten their
-(dx, ci) pairs into a [rows*w_out, 2*cin] matrix against the matching
-[2*cin, cout] weight half — accumulated with the bias.
+program.  Mosaic cannot deinterleave lanes or sublanes in-kernel (strided
+vector slices are rejected), so the dx pairing happens OUTSIDE via a FREE
+minor-dim view reshape ([n,H,W,C] -> [n,H,W/2,2C]: a bitcast in XLA) — the
+two dx halves are then contiguous lane slices.  Per row-chunk: LN in fp32
+per original pixel, zero rows/cols beyond the true (h, w) (reproducing the
+model's LN-then-zero-pad order at odd sizes exactly), dy parities split by
+a major-dim reshape, and FOUR [rows*w_out, cin] @ [cin, cout] MXU matmuls
+(one per 2x2 tap) accumulate with the bias.
 
 The op is differentiable (custom_vjp through the identical-math lax path)
 and falls back to that path off-TPU or when no band fits VMEM, mirroring
@@ -73,36 +76,50 @@ def _pick_band(h_out, w_in, cin, cout, dtype_bytes):
     return best
 
 
-def _kernel(x_ref, ns_ref, nb_ref, w0_ref, w1_ref, b_ref, o_ref, *,
+def _kernel(x_ref, ns_ref, nb_ref, k_ref, b_ref, o_ref, *,
             tile: int, h_valid: int, w_valid: int, eps: float):
-    """x_ref [1, 2*BH, Wp, Cin] input band; o_ref [1, BH, Wp/2, Cout].
-    Rows >= h_valid / cols >= w_valid are zeroed POST-LN (the model zero-pads
-    after the norm at odd sizes), so padded bands reproduce the lax math."""
+    """x_ref [1, 2*BH, Wp/2, 2*Cin] input band — the ARRAY was view-reshaped
+    OUTSIDE the kernel so each lane row holds a (dx=0, dx=1) column pair (a
+    free minor-dim merge in XLA; Mosaic cannot deinterleave lanes/sublanes
+    in-kernel).  o_ref [1, BH, Wp/2, Cout]; k_ref [2, 2, Cin, Cout].
+
+    Per chunk: the two dx halves come off contiguous lane slices, LayerNorm
+    runs per original pixel (fp32), rows/cols beyond the true (h, w) zero
+    POST-LN (the model zero-pads after the norm at odd sizes), the dy
+    parities split by a MAJOR-dim reshape, and four [rows, Cin] @
+    [Cin, Cout] MXU matmuls accumulate the 2x2 taps."""
     bh, w_out, cout = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
-    w_in, cin = x_ref.shape[2], x_ref.shape[3]
+    cin = k_ref.shape[2]
     band = pl.program_id(1)
     ns = ns_ref[0].astype(jnp.float32)
     nb = nb_ref[0].astype(jnp.float32)
     bias = b_ref[0].astype(jnp.float32)
 
+    def layernorm(v):
+        mean = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(v - mean), axis=-1, keepdims=True)
+        return (v - mean) * jax.lax.rsqrt(var + eps) * ns + nb
+
     def chunk(i, _):
         r0 = pl.multiple_of(i * tile, tile)
         rows = x_ref[0, pl.ds(2 * r0, 2 * tile), :, :].astype(jnp.float32)
-        mean = jnp.mean(rows, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(rows - mean), axis=-1, keepdims=True)
-        y = (rows - mean) * jax.lax.rsqrt(var + eps) * ns + nb
-        # zero beyond the true image: LN-then-pad order, exact at odd sizes
         row0 = (band * bh + r0) * 2
-        rids = row0 + jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
-        cids = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        y = jnp.where((rids < h_valid) & (cids < w_valid), y, 0.0)
+        rids = row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (2 * tile, w_out, cin), 0)
+        cols2 = 2 * jax.lax.broadcasted_iota(
+            jnp.int32, (2 * tile, w_out, cin), 1)
         acc = jnp.broadcast_to(bias, (tile * w_out, cout))
-        for dy, w_ref in ((0, w0_ref), (1, w1_ref)):
-            part = jax.lax.slice(y, (dy, 0, 0), (2 * tile, w_in, cin),
-                                 (2, 1, 1))  # [tile, w_in, cin]
-            part = part.reshape(tile * w_out, 2 * cin)  # (dx, ci) pairs
-            acc = acc + jnp.dot(part.astype(w_ref.dtype), w_ref[:],
-                                preferred_element_type=jnp.float32)
+        for dx in (0, 1):
+            half = rows[:, :, dx * cin : (dx + 1) * cin]  # contiguous lanes
+            y = layernorm(half)
+            # zero beyond the true image: LN-then-pad order, exact odd sizes
+            y = jnp.where((rids < h_valid) & (cols2 + dx < w_valid), y, 0.0)
+            y4 = y.reshape(tile, 2, w_out, cin)  # dy split on the major dim
+            for dy in (0, 1):
+                part = y4[:, dy, :, :].reshape(tile * w_out, cin)
+                w_tap = k_ref[dy, dx]
+                acc = acc + jnp.dot(part.astype(w_tap.dtype), w_tap,
+                                    preferred_element_type=jnp.float32)
         o_ref[0, pl.ds(r0, tile), :, :] = acc.reshape(
             tile, w_out, cout).astype(o_ref.dtype)
         return 0
@@ -112,12 +129,15 @@ def _kernel(x_ref, ns_ref, nb_ref, w0_ref, w1_ref, b_ref, o_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "tile", "h_valid", "w_valid", "eps", "interpret"))
-def _fused_call(x, ns, nb, w0, w1, b, *, band, tile, h_valid, w_valid, eps,
+def _fused_call(x, ns, nb, kernel, b, *, band, tile, h_valid, w_valid, eps,
                 interpret):
     n, h2, w_in, cin = x.shape  # h2 = 2 * h_out_pad, w_in even
-    h_out, w_out, cout = h2 // 2, w_in // 2, w0.shape[1]
+    h_out, w_out, cout = h2 // 2, w_in // 2, kernel.shape[3]
     n_bands = h_out // band
     row = lambda v: v.reshape(1, -1)  # noqa: E731
+    # free minor-dim merge: lanes hold (dx, ci) pairs so the kernel never
+    # needs a strided deinterleave (unsupported in Mosaic)
+    xr = x.reshape(n, h2, w_out, 2 * cin)
 
     def vspec(shape):
         return pl.BlockSpec(shape, lambda i, bb: (0,) * len(shape),
@@ -128,10 +148,11 @@ def _fused_call(x, ns, nb, w0, w1, b, *, band, tile, h_valid, w_valid, eps,
                           w_valid=w_valid, eps=eps),
         grid=(n, n_bands),
         in_specs=[
-            pl.BlockSpec((1, 2 * band, w_in, cin), lambda i, bb: (i, bb, 0, 0),
+            pl.BlockSpec((1, 2 * band, w_out, 2 * cin),
+                         lambda i, bb: (i, bb, 0, 0),
                          memory_space=pltpu.VMEM),
             vspec((1, cin)), vspec((1, cin)),
-            vspec((2 * cin, cout)), vspec((2 * cin, cout)),
+            vspec((2, 2, cin, cout)),
             vspec((1, cout)),
         ],
         out_specs=pl.BlockSpec((1, band, w_out, cout),
@@ -141,7 +162,7 @@ def _fused_call(x, ns, nb, w0, w1, b, *, band, tile, h_valid, w_valid, eps,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(x, row(ns), row(nb), w0, w1, row(b))
+    )(xr, row(ns), row(nb), kernel, row(b))
 
 
 def _lax_ln_downsample(x, ns, nb, kernel, bias, eps=1e-6):
@@ -166,6 +187,19 @@ def _lax_ln_downsample(x, ns, nb, kernel, bias, eps=1e-6):
 FORCE_INTERPRET = False
 
 
+def kernel_available(shape, cout: int, dtype_itemsize: int,
+                     interpret: bool = False) -> bool:
+    """True iff fused_ln_downsample would take the KERNEL path for this
+    input.  The model gates on this so the off-TPU/unfittable fallback runs
+    the ORIGINAL flax LayerNorm+Conv modules — keeping the use_fused_blocks
+    knob byte-neutral off TPU (the fused-block contract)."""
+    if not (interpret or FORCE_INTERPRET or jax.default_backend() == "tpu"):
+        return False
+    _n, h, w, cin = shape
+    return _pick_band(-(-h // 2), w + (w % 2), cin, cout,
+                      dtype_itemsize) is not None
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_ln_downsample(x, ns, nb, kernel, bias, interpret=False):
     """LayerNorm + 2x2/2 conv, VMEM-fused.  x: [n, h, w, cin] NHWC;
@@ -187,12 +221,8 @@ def _route(x, ns, nb, kernel, bias, *, interpret):
             h_out_pad, band = picked
             xp = jnp.pad(x, ((0, 0), (0, 2 * h_out_pad - h),
                              (0, w_pad - w), (0, 0)))
-            # weight halves: kernel[dy] flattens (dx, ci) -> [2*cin, cout],
-            # matching the kernel's row-pair matrices
-            w0 = kernel[0].reshape(2 * cin, cout)
-            w1 = kernel[1].reshape(2 * cin, cout)
             out = _fused_call(
-                xp, ns, nb, w0, w1, bias, band=band,
+                xp, ns, nb, kernel, bias, band=band,
                 tile=_pick_tile(band, w_pad // 2, cin, cout),
                 h_valid=h, w_valid=w, eps=1e-6, interpret=interpret)
             return out[:, :h_out]
