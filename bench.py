@@ -235,11 +235,29 @@ def _convnext_layer_costs(size, in_ch: int = 1, dtype_bytes: int = 2,
     for s, (c, depth) in enumerate(zip(dims, depths)):
         if s > 0:
             prev = dims[s - 1]
-            layers.append((f"down{s}_ln", 0, h * w * prev * 8, 2 * h * w * prev * dt, False))
+            ln_vpu = h * w * prev * 8
+            ln_bytes = 2 * h * w * prev * dt
             h, w = -(-h // 2), -(-w // 2)  # ceil: br_pad SAME at odd sizes
-            layers.append((f"down{s}_conv", h * w * c * (2 * 2 * prev) * 2, 0,
-                           (4 * h * w * prev + h * w * c) * dt
-                           + 4 * prev * c * dt // batch, False))
+            conv_mm = h * w * c * (2 * 2 * prev) * 2
+            # ConvNeXtConfig.fuse_downsample fuses LN+downsample (ops/
+            # fused_downsample.py); it shipped DEFAULT-OFF after the
+            # real-chip A/B (the dx-pair lane merge is a real copy on TPU,
+            # eating the LN saving — see the config docstring), so the
+            # projection prices it only when the knob env is set
+            down_fused = False
+            if fused and os.environ.get("BENCH_FUSE_DOWN", "").strip() == "1":
+                from mmgclip_tpu.ops.fused_downsample import _pick_band
+
+                down_fused = _pick_band(h, 2 * w, prev, c, dt) is not None
+            if down_fused:
+                layers.append((f"down{s}_fused", conv_mm, ln_vpu,
+                               (4 * h * w * prev + h * w * c) * dt
+                               + 4 * prev * c * dt // batch, False))
+            else:
+                layers.append((f"down{s}_ln", 0, ln_vpu, ln_bytes, False))
+                layers.append((f"down{s}_conv", conv_mm, 0,
+                               (4 * h * w * prev + h * w * c) * dt
+                               + 4 * prev * c * dt // batch, False))
         hw = h * w
         mm = hw * c * 4 * c * 2 * 2  # pw1 + pw2
         # gelu_flops: 15 for the exact-erf GELU (A&S poly + exp), 8 for the

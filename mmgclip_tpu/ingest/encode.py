@@ -90,6 +90,10 @@ def load_convnext_tower(config, seed: int = 0):
         # collapses the block's ~25 HBM element-passes to ~2 on real TPU;
         # falls back to the identical-math lax path off-TPU
         cn_config = replace(cn_config, use_fused_blocks=True)
+    if overrides.get("fuse_downsample"):
+        # LN+2x2/2 downsample as one kernel (ops/fused_downsample.py) —
+        # opt-in: measured a wash on v5e (see ConvNeXtConfig docstring)
+        cn_config = replace(cn_config, fuse_downsample=True)
     if overrides.get("gelu"):
         # "tanh" swaps the exact-erf GELU for the tanh approximation in
         # BOTH the fused kernel and the lax path (~3e-4 max abs error, an

@@ -53,6 +53,14 @@ class ConvNeXtConfig:
     # block's 4C-wide GELU — the largest elementwise pass once fusion makes
     # stages 0/1 VPU-bound (per-layer v5e roofline, bench.py)
     gelu: str = "exact"
+    # run the inter-stage LayerNorm+2x2/2 conv as one Pallas kernel
+    # (ops/fused_downsample.py).  Default OFF after an honest real-chip A/B:
+    # the dx-pair lane merge the kernel needs is NOT a free view on TPU
+    # (lane-padded layouts force a real copy), and XLA's own bytes-accessed
+    # shows the copy eating the LN round-trip saving (19.84 vs 18.87
+    # MB/image at 256^2; measured throughput a wash-to--2.5%).  Kept as an
+    # opt-in for layouts where the merge is free.
+    fuse_downsample: bool = False
 
     @staticmethod
     def tiny(num_classes: int = 2) -> "ConvNeXtConfig":
@@ -230,7 +238,8 @@ class ConvNeXt(nn.Module):
                 from ..ops.fused_downsample import (fused_ln_downsample,
                                                     kernel_available)
 
-                if (cfg.use_fused_blocks and valid_hw is None
+                if (cfg.use_fused_blocks and cfg.fuse_downsample
+                        and valid_hw is None
                         and kernel_available(x.shape, dim, x.dtype.itemsize,
                                              FORCE_INTERPRET)):
                     # fused LN+downsample kernel (ops/fused_downsample.py):

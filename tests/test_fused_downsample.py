@@ -93,7 +93,8 @@ def test_model_fused_downsample_matches_unfused(monkeypatch):
                     jnp.float32)
     ref = np.asarray(module.apply(params, x))
 
-    fused_cfg = type(cfg)(**{**cfg.__dict__, "use_fused_blocks": True})
+    fused_cfg = type(cfg)(**{**cfg.__dict__, "use_fused_blocks": True,
+                             "fuse_downsample": True})
     fused_module = type(module)(fused_cfg)
     # identical param tree: the fused path registers the same names
     fused_params = jax.jit(
