@@ -94,6 +94,9 @@ def load_convnext_tower(config, seed: int = 0):
         # LN+2x2/2 downsample as one kernel (ops/fused_downsample.py) —
         # opt-in: measured a wash on v5e (see ConvNeXtConfig docstring)
         cn_config = replace(cn_config, fuse_downsample=True)
+    if overrides.get("fuse_stem"):
+        # stem conv+LN as one kernel (ops/fused_stem.py)
+        cn_config = replace(cn_config, fuse_stem=True)
     if overrides.get("gelu"):
         # "tanh" swaps the exact-erf GELU for the tanh approximation in
         # BOTH the fused kernel and the lax path (~3e-4 max abs error, an

@@ -53,6 +53,14 @@ class ConvNeXtConfig:
     # block's 4C-wide GELU — the largest elementwise pass once fusion makes
     # stages 0/1 VPU-bound (per-layer v5e roofline, bench.py)
     gelu: str = "exact"
+    # run the stem (4x4/4 conv + LayerNorm) as one Pallas kernel
+    # (ops/fused_stem.py): the conv output never touches HBM before the LN,
+    # and the patch gather happens outside on the TINY pre-stem tensor (no
+    # relayout-copy trap).  Still default OFF after the real-chip A/B:
+    # 0.991x vs the fused-tanh tower (cosine 0.99998) — the fused stages
+    # are VPU-bound on this chip, so the ~1.3 MB/image HBM saving doesn't
+    # move the measured rate.  Opt-in for HBM-bound deployments.
+    fuse_stem: bool = False
     # run the inter-stage LayerNorm+2x2/2 conv as one Pallas kernel
     # (ops/fused_downsample.py).  Default OFF after an honest real-chip A/B:
     # the dx-pair lane merge the kernel needs is NOT a free view on TPU
@@ -222,9 +230,30 @@ class ConvNeXt(nn.Module):
             return ((0, (-h) % s), (0, (-w) % s))
 
         # stem: 4x4/4 conv + LN (channels-last)
-        x = nn.Conv(cfg.dims[0], kernel_size=(4, 4), strides=(4, 4), name="stem_conv",
-                    padding=br_pad(x.shape[1], x.shape[2], 4), dtype=cfg.dtype)(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+        stem_conv = nn.Conv(cfg.dims[0], kernel_size=(4, 4), strides=(4, 4), name="stem_conv",
+                            padding=br_pad(x.shape[1], x.shape[2], 4), dtype=cfg.dtype)
+        stem_norm = nn.LayerNorm(epsilon=1e-6, name="stem_norm")
+        from ..ops.fused_block import FORCE_INTERPRET as _FI
+        from ..ops.fused_stem import fused_stem
+        from ..ops.fused_stem import kernel_available as _stem_ok
+
+        if (cfg.use_fused_blocks and cfg.fuse_stem
+                and _stem_ok(x.shape, cfg.dims[0], x.dtype.itemsize, _FI)):
+            # fused stem kernel (ops/fused_stem.py) — the conv output stays
+            # in VMEM through the LN.  Dummy calls register the SAME param
+            # tree the flax path owns (outputs unused -> DCE'd); the
+            # valid_hw mask applies after, so the bucketed path needs no
+            # special casing.
+            _ = stem_conv(jnp.zeros((1, 4, 4, x.shape[-1]), x.dtype))
+            _ = stem_norm(jnp.zeros((1, 1, 1, cfg.dims[0]), cfg.dtype))
+            p_cv = self.variables["params"]["stem_conv"]
+            p_ln = self.variables["params"]["stem_norm"]
+            x = fused_stem(x, p_cv["kernel"].astype(cfg.dtype),
+                           p_cv["bias"].astype(cfg.dtype),
+                           p_ln["scale"], p_ln["bias"], _FI)
+        else:
+            x = stem_conv(x)
+            x = stem_norm(x)
         if valid_hw is not None:
             valid_hw = -(-valid_hw // 4)  # ceil: SAME-padded stride-4 stem
             x = x * _valid_mask(x, valid_hw)
