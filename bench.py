@@ -663,6 +663,15 @@ def bench_encode() -> dict:
     variants_env = os.environ.get("BENCH_VARIANTS")
     selected = (None if variants_env is None
                 else {v.strip() for v in variants_env.split(",") if v.strip()})
+    _KNOWN_VARIANTS = {"fused_int8", "fused_tanh", "fused_int8_tanh"}
+    if selected is not None and selected - _KNOWN_VARIANTS:
+        # a typo would otherwise silently skip EVERY A/B: the record would
+        # read "not measured this round", not "operator error" (the bench's
+        # no-silent-caps convention)
+        raise SystemExit(
+            f"BENCH_VARIANTS contains unknown names {sorted(selected - _KNOWN_VARIANTS)}; "
+            f"known: {sorted(_KNOWN_VARIANTS)}"
+        )
     if bench_fused:
         for prefix, kwargs in (
             # fused + int8: in-kernel int8 pointwise matmuls (per-chunk

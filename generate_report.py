@@ -23,22 +23,33 @@ import numpy as np
 
 import mmgclip_tpu
 from mmgclip_tpu.config import recompose
-from mmgclip_tpu.ingest.encode import load_convnext_tower
+from mmgclip_tpu.ingest.encode import (
+    build_encode_program,
+    load_convnext_tower,
+    parse_ingest_knobs,
+)
 from mmgclip_tpu.ingest.png_reader import decode_png
-from mmgclip_tpu.ops import fuse_views, intensity_transform
+from mmgclip_tpu.ops import fuse_views
 from mmgclip_tpu.training.checkpoint import load_checkpoint
 
 def encode_inputs(cfg, image_id=None, exam_id=None):
     """Single image / fused exam -> [1, 768] features on device
-    (reference: generate_report.py:77-163)."""
+    (reference: generate_report.py:77-163).
+
+    Rides the SAME jitted ingest program the feature store uses
+    (build_encode_program): a run trained with encode_resize/encode_window
+    must see identically-prepared pixels here, or the cascade ranks features
+    from a shifted input distribution."""
     module, params, cn_config = load_convnext_tower(cfg)
+    resize_hw, resize_method, window = parse_ingest_knobs(cfg)
+    program = build_encode_program(
+        module, params, cn_config.in_channels,
+        window=window, resize_hw=resize_hw, resize_method=resize_method,
+    )
 
     def encode_one(path):
         pixels = decode_png(path)
-        x = intensity_transform(jnp.asarray(pixels))[None, ..., None]
-        if cn_config.in_channels > 1:
-            x = jnp.repeat(x, cn_config.in_channels, axis=-1)
-        return module.apply(params, x)[0]  # [768]
+        return program(jnp.asarray(pixels)[None])[0]  # [768]
 
     if image_id:
         if not (len(image_id) == 13 and image_id[0] == "p" and image_id[-2:] in ["cl", "cr", "ml", "mr"]):

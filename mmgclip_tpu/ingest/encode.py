@@ -137,6 +137,70 @@ def load_convnext_tower(config, seed: int = 0):
     return module, params, cn_config
 
 
+def parse_ingest_knobs(config):
+    """``dataset.config.encode_resize`` / ``encode_resize_method`` /
+    ``encode_window`` -> ``(resize_hw, resize_method, window)``.
+
+    ONE parser for every consumer — the feature-store encode (_Encoder),
+    serving (InferenceEngine) and generate_report — so online features
+    always ride the SAME ingest chain the stored features were built with
+    (a window/resize applied at training time but not at serving time would
+    silently shift the input distribution)."""
+    resize = config.get_path("dataset.config.encode_resize", None)
+    if resize is None:
+        resize_hw = None
+    elif isinstance(resize, (list, tuple)):
+        resize_hw = (int(resize[0]), int(resize[1]))
+    else:
+        resize_hw = (int(resize), int(resize))
+    resize_method = str(
+        config.get_path("dataset.config.encode_resize_method", "area") or "area")
+    window = config.get_path("dataset.config.encode_window", None)
+    window = (float(window[0]), float(window[1])) if window else None
+    return resize_hw, resize_method, window
+
+
+def build_encode_program(module, params, in_ch: int, window=None,
+                         resize_hw=None, resize_method: str = "area"):
+    """The jitted ``[n, H, W] uint8/uint16 -> [n, d] features`` program.
+
+    Without ``resize_hw``: intensity transform (optionally windowed) fused
+    with the tower in one XLA program.  With it: the north-star ingest chain
+    — raw pixels -> aspect-preserving resample onto the canvas
+    (ops/resize.py, two MXU matmuls) -> intensity windowing ->
+    normalization -> the tower's EXACT masked-encode path (``valid_hw``).
+    Shared by the feature store, serving and generate_report (see
+    parse_ingest_knobs)."""
+    if resize_hw is None:
+
+        @jax.jit
+        def encode(pixels_u8):  # [n, H, W] uint8/uint16
+            x = intensity_transform(pixels_u8, window=window)[..., None]
+            if in_ch > 1:
+                x = jnp.repeat(x, in_ch, axis=-1)
+            return module.apply(params, x)  # pooled [n, d]
+
+        return encode
+
+    from ..models.convnext import _valid_mask
+    from ..ops.preprocess import normalize_16bit, to_16bit
+    from ..ops.resize import resize_to_canvas
+
+    @jax.jit
+    def encode(pixels_u8):  # [n, H, W] uint8/uint16, any native shape
+        raw = to_16bit(pixels_u8)
+        y, valid_hw = resize_to_canvas(raw, resize_hw, method=resize_method)
+        x = normalize_16bit(y, window=window)[..., None]
+        # zero the canvas pad AFTER normalization (raw zeros map to -1,
+        # a strong signal) — the masked-tower convention
+        x = x * _valid_mask(x, valid_hw)
+        if in_ch > 1:
+            x = jnp.repeat(x, in_ch, axis=-1)
+        return module.apply(params, x, valid_hw=valid_hw)
+
+    return encode
+
+
 class _Encoder:
     """Shared batched-encode machinery for image- and study-level extractors.
 
@@ -158,17 +222,7 @@ class _Encoder:
         # crop/pad -> RESIZE -> INTENSITY WINDOWING -> normalization).  The
         # reference resizes nothing (image_features.py:28, ToTensor only) —
         # both knobs are off by default and PARITY.md documents them.
-        resize = config.get_path("dataset.config.encode_resize", None)
-        if resize is None:
-            self.resize_hw = None
-        elif isinstance(resize, (list, tuple)):
-            self.resize_hw = (int(resize[0]), int(resize[1]))
-        else:
-            self.resize_hw = (int(resize), int(resize))
-        self.resize_method = str(
-            config.get_path("dataset.config.encode_resize_method", "area") or "area")
-        window = config.get_path("dataset.config.encode_window", None)
-        self.window = (float(window[0]), float(window[1])) if window else None
+        self.resize_hw, self.resize_method, self.window = parse_ingest_knobs(config)
         if self.resize_hw and self.bucket_rounding:
             # resize already maps every image onto ONE output canvas; input
             # buckets stay exact-shape so each native resolution gets exact
@@ -197,17 +251,9 @@ class _Encoder:
             logger.info(f"Encode pipeline sharded over {n_devices} local devices.")
 
     def _encode_fn(self):
-        module, params, in_ch = self.module, self.params, self.cn_config.in_channels
-        window = self.window
-
-        @jax.jit
-        def encode(pixels_u8):  # [n, H, W] uint8
-            x = intensity_transform(pixels_u8, window=window)[..., None]
-            if in_ch > 1:
-                x = jnp.repeat(x, in_ch, axis=-1)
-            return module.apply(params, x)  # pooled [n, 768]
-
-        return encode
+        return build_encode_program(
+            self.module, self.params, self.cn_config.in_channels, window=self.window
+        )
 
     def _resized_encode_fn(self):
         """The fused native-res ingest program: raw uint8 crosses PCIe, then
@@ -223,26 +269,11 @@ class _Encoder:
         canvas FLOPs (e.g. the measured 256/512-class rates) regardless of
         the 2294x1914-class source resolution, and the resample itself is
         two MXU matmuls."""
-        module, params, in_ch = self.module, self.params, self.cn_config.in_channels
-        canvas, method, window = self.resize_hw, self.resize_method, self.window
-
-        from ..models.convnext import _valid_mask
-        from ..ops.preprocess import normalize_16bit, to_16bit
-        from ..ops.resize import resize_to_canvas
-
-        @jax.jit
-        def encode(pixels_u8):  # [n, H, W] uint8/uint16, any native shape
-            raw = to_16bit(pixels_u8)
-            y, valid_hw = resize_to_canvas(raw, canvas, method=method)
-            x = normalize_16bit(y, window=window)[..., None]
-            # zero the canvas pad AFTER normalization (raw zeros map to -1,
-            # a strong signal) — the masked-tower convention
-            x = x * _valid_mask(x, valid_hw)
-            if in_ch > 1:
-                x = jnp.repeat(x, in_ch, axis=-1)
-            return module.apply(params, x, valid_hw=valid_hw)
-
-        return encode
+        return build_encode_program(
+            self.module, self.params, self.cn_config.in_channels,
+            window=self.window, resize_hw=self.resize_hw,
+            resize_method=self.resize_method,
+        )
 
     def _masked_encode_fn(self):
         """Encode zero-padded canvases EXACTLY as if each image ran at its
@@ -285,7 +316,11 @@ class _Encoder:
         if padded_n != n:
             pad = np.zeros((padded_n - n, *pixels.shape[1:]), pixels.dtype)
             pixels = np.concatenate([pixels, pad], axis=0)
-        return jax.device_put(jnp.asarray(pixels), self._sharding), n
+        # device_put straight from the host buffer: jnp.asarray first would
+        # land the whole batch on the default device before the sharded
+        # placement (a redundant H2D of every byte).  Local mesh only, so
+        # plain device_put is pod-safe (items are pre-sharded per host).
+        return jax.device_put(pixels, self._sharding), n
 
     def encode_batches(self, items: List[Tuple[str, str]], on_result, failed_path: str):
         """items: (source_path, export_key).  Decoded on a thread pool,

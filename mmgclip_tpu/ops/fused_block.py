@@ -48,24 +48,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .banding import (
+    CHUNK_BUDGET as _CHUNK_BUDGET,
+    VMEM_BUDGET as _VMEM_BUDGET,
+    largest_fitting_divisor,
+    pick_tile,
+    scan_padded_heights,
+)
+
 K = 7
 HALO = K // 2  # 3
 
-# VMEM working-set budget for the kernel path (input + output blocks are
-# double-buffered by the pipeline; weights use a constant index_map and stay
-# resident).  Leave headroom below the ~16 MB/core.
-_VMEM_BUDGET = 12 * 1024 * 1024
-# fp32 bytes allowed for one row-chunk's 4C-wide MLP intermediate
-_CHUNK_BUDGET = 2 * 1024 * 1024
-
 
 def _pick_tile_h(h: int, w: int, c: int) -> int:
-    """Largest divisor of `h` whose chunk intermediate fits the budget."""
-    max_rows = max(1, _CHUNK_BUDGET // (w * 4 * c * 4))
-    for tile in range(min(h, max_rows), 0, -1):
-        if h % tile == 0:
-            return tile
-    return 1
+    """Largest divisor of `h` whose 4C-wide fp32 MLP chunk fits the budget
+    (module-level _CHUNK_BUDGET/_VMEM_BUDGET stay patchable knobs — tests
+    shrink them to force multi-chunk/banded routing on tiny shapes)."""
+    return pick_tile(h, w * 4 * c * 4, _CHUNK_BUDGET)
 
 
 def _erf(x):
@@ -433,12 +432,14 @@ def _pick_band_h(h, w, c, dtype_bytes):
     """Largest divisor of `h` giving >= 2 bands of >= 2*HALO rows whose
     banded working set fits the VMEM budget; None if no divisor does
     (then the caller pads to a band-friendly height, see _pad_to_band)."""
-    for band in sorted((d for d in range(2 * HALO, h // 2 + 1) if h % d == 0),
-                       reverse=True):
-        if _banded_working_set(band, w, c, dtype_bytes,
-                               _pick_tile_h(band, w, c)) < _VMEM_BUDGET:
-            return band
-    return None
+    return largest_fitting_divisor(
+        h,
+        lambda band: _banded_working_set(
+            band, w, c, dtype_bytes, _pick_tile_h(band, w, c)
+        ) < _VMEM_BUDGET,
+        lo=2 * HALO,
+        hi=h // 2,
+    )
 
 
 def _pad_to_band(h, w, c, dtype_bytes):
@@ -457,13 +458,10 @@ def _pad_to_band(h, w, c, dtype_bytes):
     [0, h) therefore match the unpadded run bit-for-bit; the caller slices
     the pad rows off.  Returns None only if even the smallest band exceeds
     VMEM (then the lax fallback is genuinely required)."""
-    best = None
     start = max(h, 4 * HALO)  # need >= 2 bands of >= 2*HALO rows
-    for h_pad in range(start, start + 2 * K):
-        band = _pick_band_h(h_pad, w, c, dtype_bytes)
-        if band is not None and (best is None or band > best[1]):
-            best = (h_pad, band)
-    return best
+    return scan_padded_heights(
+        start, 2 * K, lambda h_pad: _pick_band_h(h_pad, w, c, dtype_bytes)
+    )
 
 
 # tests flip this to drive the REAL kernel (interpret mode) through the

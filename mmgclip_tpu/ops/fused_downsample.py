@@ -40,18 +40,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 12 * 1024 * 1024
-_CHUNK_BUDGET = 2 * 1024 * 1024
+from .banding import (
+    CHUNK_BUDGET as _CHUNK_BUDGET,
+    VMEM_BUDGET as _VMEM_BUDGET,
+    largest_fitting_divisor,
+    pick_tile,
+    scan_padded_heights,
+)
 
 
 def _pick_tile(bh: int, w_out: int, cin: int, cout: int) -> int:
-    """Largest divisor of `bh` whose fp32 chunk intermediates fit."""
-    per_row = (2 * w_out * 2 * cin + w_out * cout) * 4
-    max_rows = max(1, _CHUNK_BUDGET // per_row)
-    for tile in range(min(bh, max_rows), 0, -1):
-        if bh % tile == 0:
-            return tile
-    return 1
+    """Largest divisor of `bh` whose fp32 chunk intermediates fit
+    (module-level _CHUNK_BUDGET/_VMEM_BUDGET stay patchable test knobs)."""
+    return pick_tile(bh, (2 * w_out * 2 * cin + w_out * cout) * 4, _CHUNK_BUDGET)
 
 
 def _working_set(bh, w_in, cin, cout, dtype_bytes, tile):
@@ -64,16 +65,17 @@ def _working_set(bh, w_in, cin, cout, dtype_bytes, tile):
 def _pick_band(h_out, w_in, cin, cout, dtype_bytes):
     """(h_out_pad, band) — smallest padding with the largest fitting band of
     output rows; None when even a 1-row band exceeds VMEM."""
-    best = None
-    for h_pad in range(max(h_out, 2), max(h_out, 2) + 8):
-        for band in sorted((d for d in range(1, h_pad + 1) if h_pad % d == 0),
-                           reverse=True):
-            if _working_set(band, w_in, cin, cout, dtype_bytes,
-                            _pick_tile(band, w_in // 2, cin, cout)) < _VMEM_BUDGET:
-                if best is None or band > best[1]:
-                    best = (h_pad, band)
-                break
-    return best
+
+    def band_for(h_pad):
+        return largest_fitting_divisor(
+            h_pad,
+            lambda band: _working_set(
+                band, w_in, cin, cout, dtype_bytes,
+                _pick_tile(band, w_in // 2, cin, cout),
+            ) < _VMEM_BUDGET,
+        )
+
+    return scan_padded_heights(max(h_out, 2), 8, band_for)
 
 
 def _kernel(x_ref, ns_ref, nb_ref, k_ref, b_ref, o_ref, *,

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from .mesh import EXPERT_AXIS
+from .mesh import EXPERT_AXIS, put_global
 
 P = PartitionSpec
 
@@ -40,8 +40,11 @@ def moe_param_specs(params, n_experts: int, axis_name: str = EXPERT_AXIS):
 
 
 def shard_moe_params(params, mesh: Mesh, n_experts: int, axis_name: str = EXPERT_AXIS):
-    """Place an MoE param tree on the mesh with experts distributed."""
+    """Place an MoE param tree on the mesh with experts distributed.
+
+    Placement rides ``put_global`` (pod-shaped: assembles global arrays on
+    multi-process meshes, plain device_put otherwise — CLAUDE.md invariant)."""
     specs = moe_param_specs(params, n_experts, axis_name)
     return jax.tree_util.tree_map(
-        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)), params, specs
+        lambda leaf, s: put_global(leaf, NamedSharding(mesh, s)), params, specs
     )

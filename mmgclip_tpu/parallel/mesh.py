@@ -85,41 +85,34 @@ def put_global(tree, sharding: NamedSharding):
     Single-process (every device addressable): plain ``jax.device_put`` —
     byte-identical to the pre-pod behavior.  Multi-process: ``device_put``
     cannot target non-addressable devices, so every leaf becomes a GLOBAL
-    ``jax.Array`` assembled with ``jax.make_array_from_process_local_data``;
-    leading-axis-sharded specs (batches) slice THIS process's row block out
-    of the process-identical global value first — the per-host data-loading
-    contract (SURVEY §2.4: no process materializes another host's shard on
-    device).  Assumes the default mesh construction, where ``jax.devices()``
-    ordering makes each process's data-axis block contiguous.
+    ``jax.Array`` via ``jax.make_array_from_process_local_data`` in its
+    "target array" mode (local_data = the full process-identical value,
+    ``global_shape`` passed explicitly): each device looks up ITS OWN index
+    block, so ANY spec assembles correctly — batch specs over ``data``,
+    leading ``model``/``expert`` specs (expert-stacked ``[E, ...]`` leaves
+    on restore), ZeRO moments sharded at dim > 0, replication.  Only each
+    device's own shard crosses the host link (SURVEY §2.4: no process
+    materializes another host's shard on device).
+
+    Callers should pass host (numpy) values when they have them — a device
+    leaf costs an extra D2H fetch per call on multi-process meshes.
 
     Replaces the single-process placement the reference hard-codes
     (reference: mmgclip/networks/mmgclip_model.py:24)."""
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
-    pc, pi = jax.process_count(), jax.process_index()
 
     def leaf(x):
         x = np.asarray(jax.device_get(x))
-        spec = sharding.spec
-        if len(spec) and spec[0] is not None:
-            if x.shape[0] % pc:
-                raise ValueError(
-                    f"global batch of {x.shape[0]} rows does not split over "
-                    f"{pc} processes"
-                )
-            per = x.shape[0] // pc
-            x = x[pi * per : (pi + 1) * per]
-        return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
 
     return jax.tree_util.tree_map(leaf, tree)
 
 
 def shard_batch(mesh: Mesh, tree):
     """Place every array in ``tree`` with its batch axis sharded over data."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return put_global(tree, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):
-    sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return put_global(tree, replicated(mesh))

@@ -263,8 +263,68 @@ def run_multihost_dryrun(n_processes: int = 2, n_devices: int = 8,
                             timeout, "mh_err="))
 
 
+def _worker_put_global(num_processes: int, process_id: int, coordinator: str) -> None:
+    """Pin ``put_global``'s multi-process assembly for every spec family the
+    training path places: replicated, batch over ``data``, LEADING model-axis
+    specs (expert-stacked [E, ...] leaves on restore — the spec an earlier
+    leading-axis slice heuristic mis-assembled), a ``data`` axis at dim > 0
+    (ZeRO-1 moments), and a combined ('data','model') leading axis.  Each
+    process checks every addressable shard against the oracle block."""
+    initialize_distributed(coordinator, num_processes, process_id)
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from .mesh import DATA_AXIS, MODEL_AXIS, put_global
+
+    n_dev = len(jax.devices())
+    # data axis spans processes (jax.devices() order), model axis is local
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(n_dev // 2, 2), (DATA_AXIS, MODEL_AXIS)
+    )
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(8, 6)).astype(np.float32)
+    specs = [
+        P(),
+        P(DATA_AXIS),
+        P(MODEL_AXIS),
+        P(None, DATA_AXIS),
+        P((DATA_AXIS, MODEL_AXIS)),
+    ]
+    worst = 0.0
+    for spec in specs:
+        g = put_global(x, NamedSharding(mesh, spec))
+        assert g.shape == x.shape, f"{spec}: global shape {g.shape} != {x.shape}"
+        for shard in g.addressable_shards:
+            err = float(np.max(np.abs(np.asarray(shard.data) - x[shard.index])))
+            assert err == 0.0, f"{spec}: shard {shard.index} mis-assembled ({err})"
+            worst = max(worst, err)
+    print(
+        f"put_global worker {process_id}/{num_processes}: pg_err={worst:.2e}",
+        flush=True,
+    )
+
+
+def run_put_global_dryrun(n_processes: int = 2, n_devices: int = 4,
+                          timeout: int = 600) -> float:
+    """2 fresh processes x 2 virtual devices: assert put_global assembles
+    every placement spec family correctly on a multi-process mesh."""
+    assert n_devices % n_processes == 0
+    port = _free_port()
+
+    def make_code(pid: int) -> str:
+        return (
+            "from mmgclip_tpu.parallel.multihost import _worker_put_global\n"
+            f"_worker_put_global({n_processes}, {pid}, 'localhost:{port}')\n"
+        )
+
+    return max(_run_workers(make_code, n_processes, n_devices // n_processes,
+                            timeout, "pg_err="))
+
+
 def _worker_experiment(num_processes: int, process_id: int, coordinator: str,
-                       root: str, out_path: str) -> None:
+                       root: str, out_path: str, overrides=None) -> None:
     """One rehearsal process driving the REAL product training path: a tiny
     ClassifierExperiment (the actual donated-buffer jitted step, the
     scan-based fused epoch, the bank placements — everything
@@ -272,7 +332,13 @@ def _worker_experiment(num_processes: int, process_id: int, coordinator: str,
     Process 0 writes the final loss + flattened params for the parent to
     compare against the single-process oracle (VERDICT r4 missing #2: the
     toy 32-dim linear rehearsal did not exercise what breaks under
-    multi-process placement)."""
+    multi-process placement).
+
+    ``overrides``: dotted-config-path -> value dict applied after compose —
+    lets the rehearsal drive the non-default layouts too (EP/TP via
+    ``parallel.model_axis`` + an MoE projection, ZeRO-1 via
+    ``optimizer.config.zero_sharding``), whose placements are exactly the
+    put_global paths that differ under multi-process meshes."""
     if num_processes > 1:
         initialize_distributed(coordinator, num_processes, process_id)
 
@@ -307,6 +373,12 @@ def _worker_experiment(num_processes: int, process_id: int, coordinator: str,
     cfg.dataloader.train.batch_size = 8
     cfg.dataloader.valid.batch_size = 4
     cfg.dataset.eval.enum_classes = []
+    for path, value in (overrides or {}).items():
+        keys = path.split(".")
+        node = cfg
+        for k in keys[:-1]:
+            node = node[k]
+        node[keys[-1]] = Config(value) if isinstance(value, dict) else value
 
     ds = get_dataset(cfg.dataset.name)(config=cfg, data_folder="0/02")
     train_split, _val_split = ds.random_split(ds, "train")
@@ -319,6 +391,20 @@ def _worker_experiment(num_processes: int, process_id: int, coordinator: str,
         test_dataloader=None,
         tokenizer=ds.tokenizer,
     )
+    # the rehearsed layout must actually be ACTIVE — a config typo that
+    # silently fell back to plain DP would make the comparison vacuous
+    if (int(cfg.get_path("parallel.model_axis", 1)) > 1
+            and cfg.get_path("projection.config.projection_name", "")
+            == "MoEProjectionHead"):
+        assert exp._expert_sharded, "EP rehearsal did not shard expert weights"
+    if bool(cfg.get_path("optimizer.config.zero_sharding", False)):
+        specs = [
+            str(leaf.sharding.spec)
+            for leaf in jax.tree_util.tree_leaves(exp.opt_state)
+            if hasattr(leaf, "sharding")
+        ]
+        assert any("data" in s for s in specs), \
+            "ZeRO-1 rehearsal left every moment replicated"
     loss = exp.train()
     if jax.process_index() == 0:
         leaves = jax.tree_util.tree_leaves(exp.params)
@@ -332,11 +418,13 @@ def _worker_experiment(num_processes: int, process_id: int, coordinator: str,
 
 
 def run_multihost_experiment_dryrun(n_processes: int = 2, n_devices: int = 4,
-                                    timeout: int = 900) -> float:
+                                    timeout: int = 900, overrides=None) -> float:
     """The PRODUCT-path multihost rehearsal: build a tiny fixture tree, run
     one ClassifierExperiment training epoch single-process (the oracle) and
     again as ``n_processes`` distributed processes over the same global
     device count, and return max(|loss diff|, max |param diff|).
+    ``overrides`` (dotted config paths) select non-default layouts — both
+    runs apply them, so EP/TP/ZeRO-1 placements are compared like-for-like.
 
     The fixture builder lives in tests/fixtures.py — a rehearsal-only
     dependency (this function is the dryrun/test harness, never a
@@ -360,7 +448,8 @@ def run_multihost_experiment_dryrun(n_processes: int = 2, n_devices: int = 4,
         def code_single(pid: int) -> str:
             return (
                 "from mmgclip_tpu.parallel.multihost import _worker_experiment\n"
-                f"_worker_experiment(1, 0, '', {root!r}, {single_out!r})\n"
+                f"_worker_experiment(1, 0, '', {root!r}, {single_out!r}, "
+                f"{overrides!r})\n"
             )
 
         _run_workers(code_single, 1, n_devices, timeout, "ok=")
@@ -371,7 +460,7 @@ def run_multihost_experiment_dryrun(n_processes: int = 2, n_devices: int = 4,
             return (
                 "from mmgclip_tpu.parallel.multihost import _worker_experiment\n"
                 f"_worker_experiment({n_processes}, {pid}, 'localhost:{port}', "
-                f"{root!r}, {multi_out!r})\n"
+                f"{root!r}, {multi_out!r}, {overrides!r})\n"
             )
 
         _run_workers(code_multi, n_processes, n_devices // n_processes,

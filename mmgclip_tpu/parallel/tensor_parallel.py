@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from .mesh import MODEL_AXIS
+from .mesh import MODEL_AXIS, put_global
 
 P = PartitionSpec
 
@@ -53,7 +53,10 @@ def text_tower_specs() -> dict:
 
 
 def shard_text_tower(variables, mesh: Mesh):
-    """Place BERT variables on the mesh with the TP layout."""
+    """Place BERT variables on the mesh with the TP layout.
+
+    Placement rides ``put_global`` (pod-shaped: assembles global arrays on
+    multi-process meshes, plain device_put otherwise — CLAUDE.md invariant)."""
     specs = text_tower_specs()
 
     def place(path, leaf):
@@ -61,11 +64,11 @@ def shard_text_tower(variables, mesh: Mesh):
         for key in path:
             key_name = getattr(key, "key", None)
             if key_name is None:
-                return jax.device_put(leaf, NamedSharding(mesh, P()))
+                return put_global(leaf, NamedSharding(mesh, P()))
             node = node.get(key_name, None)
             if node is None:
-                return jax.device_put(leaf, NamedSharding(mesh, P()))
+                return put_global(leaf, NamedSharding(mesh, P()))
         spec = node if isinstance(node, PartitionSpec) else P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return put_global(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, variables)

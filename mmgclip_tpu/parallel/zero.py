@@ -20,7 +20,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, put_global
 
 P = PartitionSpec
 
@@ -45,9 +45,13 @@ def zero1_shardings(opt_state, mesh: Mesh):
 
 
 def shard_opt_state(opt_state, mesh: Mesh):
-    """Place an optax state tree with ZeRO-1 shardings."""
+    """Place an optax state tree with ZeRO-1 shardings.
+
+    Placement rides ``put_global`` (pod-shaped: assembles global arrays on
+    multi-process meshes — the DATA axis can land at dim > 0 here, which
+    only the target-array assembly handles; plain device_put otherwise)."""
     return jax.tree_util.tree_map(
-        lambda leaf, s: jax.device_put(leaf, s), opt_state, zero1_shardings(opt_state, mesh)
+        lambda leaf, s: put_global(leaf, s), opt_state, zero1_shardings(opt_state, mesh)
     )
 
 

@@ -32,11 +32,10 @@ from .evaluation.report_cascade import (
     run_cascade_batch,
     unpack_decisions,
 )
-from .ingest.encode import load_convnext_tower
+from .ingest.encode import build_encode_program, load_convnext_tower, parse_ingest_knobs
 from .ingest.png_reader import decode_png
 from .models.clip import MMGCLIP, l2_normalize
 from .ops.fusion import fuse_views
-from .ops.preprocess import intensity_transform
 from .training.checkpoint import load_checkpoint
 from .utils.logging import logger
 
@@ -65,7 +64,20 @@ class InferenceEngine:
         self.params = jax.device_put(self.params)
 
         self.encode_module, self.encode_params, self.cn_config = load_convnext_tower(config)
-        self._encode_jit = jax.jit(self._encode_impl)
+        # the SAME ingest chain the feature store was built with: if the run
+        # config sets encode_resize / encode_window, online encodes must
+        # apply them too, or served features silently come from a different
+        # input distribution than the one the classifier was trained on
+        resize_hw, resize_method, window = parse_ingest_knobs(config)
+        if resize_hw or window:
+            logger.info(
+                f"Serving encode applies the configured ingest chain: "
+                f"resize={resize_hw} ({resize_method}), window={window}."
+            )
+        self._encode_jit = build_encode_program(
+            self.encode_module, self.encode_params, self.cn_config.in_channels,
+            window=window, resize_hw=resize_hw, resize_method=resize_method,
+        )
         self._prompt_cache: Dict[tuple, jnp.ndarray] = {}
         self._cascade_table = None
         # the projection/classify math is tiny but eager dispatch costs one
@@ -94,12 +106,6 @@ class InferenceEngine:
         )
 
     # ------------------------------------------------------------------
-    def _encode_impl(self, pixels_u8):
-        x = intensity_transform(pixels_u8)[..., None]
-        if self.cn_config.in_channels > 1:
-            x = jnp.repeat(x, self.cn_config.in_channels, axis=-1)
-        return self.encode_module.apply(self.encode_params, x)
-
     def encode_paths(self, paths: Sequence[str]) -> np.ndarray:
         """PNG paths -> [n, 768] features, bucketed by shape."""
         from collections import defaultdict

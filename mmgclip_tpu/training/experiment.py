@@ -232,6 +232,7 @@ class ClassifierExperiment:
 
         # ---- frozen-tower text banks -------------------------------------
         self._text_bank = self._impression_bank = None
+        self._text_bank_host = self._impression_bank_host = None
         if train_dataloader is not None:
             base = _base_dataset(train_dataloader.dataset)
             self._text_bank = self._pool_tokens(base._tokens)
@@ -247,6 +248,14 @@ class ClassifierExperiment:
                         "or switch to loss=CLIPLoss/AveragedMedicalCLIPLoss"
                     )
                 self._impression_bank = self._pool_tokens(base._impression_tokens)
+            if jax.process_count() > 1:
+                # host mirrors for batch gathers: on a multi-process mesh
+                # put_global re-assembles from HOST values, so indexing the
+                # device bank first would cost a full D2H+H2D round trip per
+                # step — gather on the host instead (banks are tiny)
+                self._text_bank_host = np.asarray(self._text_bank)
+                if self._impression_bank is not None:
+                    self._impression_bank_host = np.asarray(self._impression_bank)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._val_step = jax.jit(self._val_step_impl)
@@ -396,15 +405,23 @@ class ClassifierExperiment:
             if n % int(self.mesh.shape[DATA_AXIS]) == 0
             else self._replicated
         )
-        # put_global: pod-shaped — each process contributes its row block of
-        # the batch on a multi-process mesh (per-host data loading), plain
-        # device_put single-process
-        feats = put_global(jnp.asarray(batch["image_features"], jnp.float32), sharding)
+        # put_global: pod-shaped — each device receives its own block of the
+        # batch on a multi-process mesh (per-host data loading), plain
+        # device_put single-process.  Values are prepared on the HOST (numpy
+        # / host bank mirrors): put_global assembles from host values, so a
+        # device-side gather first would round-trip the batch D2H+H2D
+        feats = put_global(np.asarray(batch["image_features"], np.float32), sharding)
         idx = batch["indices"]
-        text = put_global(self._text_bank[idx], sharding)
+        text_bank = self._text_bank_host if self._text_bank_host is not None else self._text_bank
+        text = put_global(text_bank[idx], sharding)
         text2 = None
         if self._impression_bank is not None:
-            text2 = put_global(self._impression_bank[idx], sharding)
+            bank2 = (
+                self._impression_bank_host
+                if self._impression_bank_host is not None
+                else self._impression_bank
+            )
+            text2 = put_global(bank2[idx], sharding)
         return feats, text, text2
 
     # ------------------------------------------------------------------
@@ -430,11 +447,19 @@ class ClassifierExperiment:
         self._train_indices = indices
 
         feats = base._features[indices].reshape(len(indices), -1).astype(np.float32)
-        self._feats_bank = put_global(jnp.asarray(feats), self._replicated)
-        self._text_train_bank = put_global(self._text_bank[jnp.asarray(indices)], self._replicated)
+        # gather bank rows on the host when a mirror exists (multi-process:
+        # put_global assembles from host values — see _device_batch)
+        text_bank = self._text_bank_host if self._text_bank_host is not None else self._text_bank
+        bank2 = (
+            self._impression_bank_host
+            if self._impression_bank_host is not None
+            else self._impression_bank
+        )
+        self._feats_bank = put_global(feats, self._replicated)
+        self._text_train_bank = put_global(text_bank[np.asarray(indices)], self._replicated)
         self._text2_train_bank = (
-            put_global(self._impression_bank[jnp.asarray(indices)], self._replicated)
-            if self._impression_bank is not None
+            put_global(bank2[np.asarray(indices)], self._replicated)
+            if bank2 is not None
             else None
         )
 
@@ -685,7 +710,18 @@ class ClassifierExperiment:
         self.early_stopper.counter = state["counter"]
         self.early_stopper.val_loss_min = state["val_loss"]
         if "rng_key" in state:
-            self.rng_key = state["rng_key"]
+            if jax.process_count() > 1:
+                # the restored key is a process-local array; the jitted step
+                # needs a GLOBAL replicated one.  Extended key dtypes can't
+                # ride make_array_from_process_local_data, so rebuild inside
+                # jit from the raw key data (the __init__ pattern).
+                data = np.asarray(jax.random.key_data(state["rng_key"]))
+                self.rng_key = jax.jit(
+                    lambda: jax.random.wrap_key_data(jnp.asarray(data)),
+                    out_shardings=self._replicated,
+                )()
+            else:
+                self.rng_key = state["rng_key"]
         sched = (state.get("extra") or {}).get("scheduler")
         if sched and hasattr(self.scheduler, "step"):
             self.scheduler.lr = sched["lr"]

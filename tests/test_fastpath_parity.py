@@ -39,6 +39,13 @@ VARIANTS = {
     "fused": {"use_fused_blocks": True},
     "fused_tanh": {"use_fused_blocks": True, "gelu": "tanh"},
     "fused_int8_tanh": {"use_fused_blocks": True, "gelu": "tanh", "quant": "int8"},
+    # the opt-in glue kernels (ops/fused_stem.py, ops/fused_downsample.py)
+    # are user-flippable speed knobs too — they carry the same product gates
+    # (CLAUDE.md invariant), one combined variant covering both
+    "fused_tanh_glue": {
+        "use_fused_blocks": True, "gelu": "tanh",
+        "fuse_stem": True, "fuse_downsample": True,
+    },
 }
 
 
@@ -83,17 +90,22 @@ def _encode(ws, tag, overrides):
     REAL Pallas kernels (interpret mode) through ImageFeatureExtractor."""
     import encode_images
     from mmgclip_tpu.ops import fused_block as fb
+    from mmgclip_tpu.ops import fused_downsample as fd
+    from mmgclip_tpu.ops import fused_stem as fs
 
     run_dir = ws["root"] / f"enc_{tag}"
     run_dir.mkdir(exist_ok=True)
     cfg = _cfg(ws, run_dir, overrides)
     cfg.base.features_export_dir = str(ws["root"] / f"features_{tag}")
-    old = fb.FORCE_INTERPRET
-    fb.FORCE_INTERPRET = bool(overrides)
+    mods = (fb, fd, fs)  # interpret-force every kernel the knobs can route to
+    old = [m.FORCE_INTERPRET for m in mods]
+    for m in mods:
+        m.FORCE_INTERPRET = bool(overrides)
     try:
         encode_images.extract(cfg)
     finally:
-        fb.FORCE_INTERPRET = old
+        for m, o in zip(mods, old):
+            m.FORCE_INTERPRET = o
     return cfg.base.features_export_dir
 
 

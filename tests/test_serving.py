@@ -83,6 +83,42 @@ def test_engine_encode_classify_report(experiment):
     assert reports == engine.generate_reports(feats[:1], seed=7)
 
 
+def test_engine_encode_applies_ingest_knobs(experiment, tmp_path):
+    """A run configured with encode_resize/encode_window must serve features
+    from the SAME ingest chain that built its feature store: online encodes
+    (serving, generate_report) silently skipping the windowed-resized chain
+    is the failure mode — features from a different input distribution than
+    training, with no error (ingest/encode.py::parse_ingest_knobs)."""
+    import pandas as pd
+
+    from mmgclip_tpu.config import recompose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+
+    run_dir, png, _exam_dir = experiment
+    cfg = recompose(run_dir)
+    cfg.checkpoints.checkpoints_export_dir = os.path.join(run_dir, "checkpoints")
+    cfg.dataset.config.encode_resize = [24, 24]
+    cfg.dataset.config.encode_window = [16383.75, 49151.25]
+    cfg.base.features_export_dir = str(tmp_path / "store")
+
+    extractor = ImageFeatureExtractor(
+        config=cfg, dataset=pd.DataFrame({"image_path": [png]}), batch_size=2
+    )
+    assert extractor.extract() == 1
+    stored_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(str(tmp_path / "store"))
+        for f in fs
+        if f.endswith(".npy")
+    ]
+    assert len(stored_files) == 1
+    stored = np.load(stored_files[0])
+
+    engine = InferenceEngine(cfg)
+    served = engine.encode_paths([png])
+    np.testing.assert_allclose(served[0], stored.reshape(-1), atol=1e-5)
+
+
 def test_serve_cli_once(experiment):
     run_dir, png, _ = experiment
     request = json.dumps({"op": "classify", "paths": [png],
