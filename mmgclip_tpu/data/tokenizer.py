@@ -573,7 +573,14 @@ class Tokenizer:
         input_ids = np.full((n, width), self._backend.pad_id, np.int32)
         attention_mask = np.zeros((n, width), np.int32)
         for i, ids in enumerate(encoded):
-            ids = ids[:width]
+            if len(ids) > width:
+                # reachable only with truncation=False + padding=
+                # "max_length": the fixed canvas still has to cut, so use
+                # the family truncate rule (WordPiece keeps [SEP] last)
+                # rather than a bare slice — a chopped-off [SEP] would make
+                # eos_pool (sum(mask)-1) pool an arbitrary mid-sentence
+                # token
+                ids = self._backend.truncate(ids, width)
             input_ids[i, : len(ids)] = ids
             attention_mask[i, : len(ids)] = 1
         return {

@@ -97,6 +97,20 @@ def load_convnext_tower(config, seed: int = 0):
     if overrides.get("fuse_stem"):
         # stem conv+LN as one kernel (ops/fused_stem.py)
         cn_config = replace(cn_config, fuse_stem=True)
+    if ((overrides.get("fuse_stem") or overrides.get("fuse_downsample"))
+            and not overrides.get("use_fused_blocks")):
+        # the glue-kernel gates in models/convnext.py require
+        # use_fused_blocks too (the glue kernels only pay alongside the
+        # block kernel, and share its FORCE_INTERPRET plumbing) — without
+        # it the knob is a silent no-op and any A/B "measuring" it
+        # benchmarks the plain flax path
+        logger.warning(
+            "fuse_stem/fuse_downsample have no effect without "
+            "use_fused_blocks=true: the glue kernels are gated on the "
+            "fused-block path (models/convnext.py). Set networks."
+            "image_encoder.config.use_fused_blocks=true (or use the "
+            "clip_convnext_fused_* presets) to activate them."
+        )
     if overrides.get("gelu"):
         # "tanh" swaps the exact-erf GELU for the tanh approximation in
         # BOTH the fused kernel and the lax path (~3e-4 max abs error, an

@@ -142,8 +142,10 @@ class MoEProjectionHead(nn.Module):
         )
         # Switch capacity drop happens inside one_hot: positions >= capacity
         # are out of range and produce an all-zero row (no extra keep factor
-        # needed — the token simply vanishes from dispatch, and the residual
-        # path plus zero-safe l2_normalize handle the dropped row)
+        # needed — the token simply vanishes from dispatch and its projected
+        # embedding is exactly zero; the zero-safe l2_normalize downstream
+        # keeps that row finite, so a dropped token contributes a uniform
+        # all-zero logits row rather than NaNs)
         dispatch = (
             expert_onehot.astype(x.dtype)[:, :, None]
             * jax.nn.one_hot(position, capacity, dtype=x.dtype)[:, None, :]

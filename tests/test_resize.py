@@ -235,3 +235,35 @@ def test_unfused_int8_warns(monkeypatch):
     cfg.networks.image_encoder.config["use_fused_blocks"] = True
     load_convnext_tower(cfg)
     assert not any("slowdown" in w for w in warnings)
+
+def test_glue_knobs_without_fused_blocks_warn(monkeypatch):
+    """fuse_stem/fuse_downsample are gated on use_fused_blocks in
+    models/convnext.py — setting them alone is a silent no-op, so config
+    resolution must say so loudly (same contract as the int8 footgun)."""
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import encode as enc
+    from mmgclip_tpu.ingest.encode import load_convnext_tower
+
+    warnings = []
+    monkeypatch.setattr(enc.logger, "warning",
+                        lambda msg, *a: warnings.append(str(msg)))
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config(
+        {"micro": True, "in_channels": 1, "fuse_stem": True})
+    load_convnext_tower(cfg)
+    assert any("no effect without" in w for w in warnings)
+
+    warnings.clear()
+    cfg.networks.image_encoder.config = Config(
+        {"micro": True, "in_channels": 1, "fuse_downsample": True})
+    load_convnext_tower(cfg)
+    assert any("no effect without" in w for w in warnings)
+
+    # the blessed combination: no warning
+    warnings.clear()
+    cfg.networks.image_encoder.config = Config(
+        {"micro": True, "in_channels": 1, "fuse_stem": True,
+         "fuse_downsample": True, "use_fused_blocks": True})
+    load_convnext_tower(cfg)
+    assert not any("no effect" in w for w in warnings)

@@ -118,3 +118,15 @@ def test_fixture_exercises_multipiece_and_unk(hf_tokenizer):
     toks = hf_tokenizer.tokenize("calcifications architectural zzgibberishzz")
     assert any(t.startswith("##") for t in toks)
     assert "[UNK]" in toks
+
+def test_no_truncation_overflow_still_keeps_sep_last(hf_tokenizer, ours):
+    """truncation=False + padding='max_length' with an over-length text: the
+    fixed canvas still has to cut, and the cut must follow the family
+    truncate rule (keep [SEP] last) — a bare slice would chop [SEP] and make
+    eos_pool (sum(mask)-1) pool an arbitrary mid-sentence token."""
+    sep = hf_tokenizer.vocab["[SEP]"]
+    long_text = " ".join(_bank_sentences()[:20])
+    mine = ours([long_text], padding="max_length", truncation=False, max_length=16)
+    assert mine["input_ids"].shape == (1, 16)
+    eos = int(mine["attention_mask"][0].sum()) - 1
+    assert mine["input_ids"][0, eos] == sep
