@@ -1397,6 +1397,18 @@ def bench_ingest() -> dict:
     win_env = os.environ.get("BENCH_WINDOW", "32767.5,65535")
     window = tuple(float(v) for v in win_env.split(","))
     tiny = os.environ.get("BENCH_TINY", "").strip().lower() in ("1", "true", "yes")
+    precision_name = os.environ.get("BENCH_RESIZE_PRECISION", "default").strip().lower()
+    if precision_name not in ("default", "highest"):
+        raise ValueError(
+            f"BENCH_RESIZE_PRECISION must be 'default' or 'highest', got {precision_name!r}")
+    resize_precision = (jax.lax.Precision.HIGHEST
+                        if precision_name == "highest" else None)
+    # pricing basis per precision: DEFAULT f32 einsums lower to a SINGLE
+    # bf16 MXU pass (verified on the real chip: a DEFAULT matmul of
+    # 1+2^-12 returns 1.0 exactly — operands are truncated to bf16 — while
+    # HIGHEST returns 1.000244), so the bf16 peak is the correct price;
+    # HIGHEST runs the ~6-pass fp32 decomposition
+    resize_mxu_passes = 6.0 if precision_name == "highest" else 1.0
 
     base = ConvNeXtConfig.micro() if tiny else ConvNeXtConfig.tiny()
     # the product fast path: fused blocks + tanh GELU
@@ -1410,7 +1422,8 @@ def bench_ingest() -> dict:
     @jax.jit
     def chain(pixels_u8):  # [n, H, W] native uint8 -> pooled features
         raw = to_16bit(pixels_u8)
-        y, valid_hw = resize_to_canvas(raw, canvas, method="area")
+        y, valid_hw = resize_to_canvas(raw, canvas, method="area",
+                                       precision=resize_precision)
         x = normalize_16bit(y, window=window)[..., None].astype(dtype)
         x = x * _valid_mask(x, valid_hw)
         return module.apply(params, x, valid_hw=valid_hw)
@@ -1418,7 +1431,8 @@ def bench_ingest() -> dict:
     @jax.jit
     def resize_only(pixels_u8):
         raw = to_16bit(pixels_u8)
-        y, valid_hw = resize_to_canvas(raw, canvas, method="area")
+        y, valid_hw = resize_to_canvas(raw, canvas, method="area",
+                                       precision=resize_precision)
         return normalize_16bit(y, window=window).astype(dtype), valid_hw
 
     rng = np.random.default_rng(0)
@@ -1474,7 +1488,7 @@ def bench_ingest() -> dict:
     vh, vw = fit_shape(native, canvas)
     # dense separable resample: Rh[vh,H] @ x[H,W] then [vh,W] @ Rw^T[W,vw]
     resize_flops = 2 * vh * native[0] * native[1] + 2 * vh * vw * native[1]
-    t_resize = resize_flops / (197e12 * mfu)
+    t_resize = resize_flops * resize_mxu_passes / (197e12 * mfu)
     # resize HBM: read u8 native + write the canvas f32 (the [vh, W]
     # intermediate fuses with the second matmul)
     t_resize_hbm = (native[0] * native[1] + 4 * canvas[0] * canvas[1]) / (819e9 * 0.8)
@@ -1502,6 +1516,8 @@ def bench_ingest() -> dict:
             "native_bytes_per_image_mb": round(bytes_per_image / 1e6, 3),
             "resample": {"method": "area", "canvas": list(canvas),
                          "valid_hw": [vh, vw], "window": list(window),
+                         "precision": precision_name,
+                         "resize_mxu_passes_priced": resize_mxu_passes,
                          "resize_gflops_per_image": round(resize_flops / 1e9, 3)},
             "v5e_projection": {
                 "compute_img_per_sec": round(v5e_compute, 0),
@@ -1513,8 +1529,13 @@ def bench_ingest() -> dict:
                 "meets_north_star": bool(v5e_e2e >= 5000),
                 "pcie_gbps_needed_for_5k": round(5000 * bytes_per_image / 1e9, 1),
                 "basis": (
-                    "compute = dense separable resize matmuls (197 bf16 "
-                    f"TFLOP/s x MFU {mfu:.2f}) + the fused-tanh tower's "
+                    "compute = dense separable resize matmuls priced at "
+                    f"{resize_mxu_passes:g} MXU pass(es) of 197 bf16 TFLOP/s "
+                    f"x MFU {mfu:.2f} (DEFAULT-precision f32 einsums lower "
+                    "to one bf16 pass on TPU — chip-verified; HIGHEST runs "
+                    "the ~6-pass fp32 decomposition; knob: "
+                    "BENCH_RESIZE_PRECISION / dataset.config."
+                    "encode_resize_precision) + the fused-tanh tower's "
                     "per-layer v5e projection at the canvas size; pcie = "
                     "native uint8 bytes/image over BENCH_PCIE_GBPS (v5e "
                     "hosts share PCIe gen3 across chips — 8 GB/s/chip is "
@@ -1527,10 +1548,13 @@ def bench_ingest() -> dict:
             },
             "fidelity_note": (
                 "area resample (oracle-tested vs tf/torch, "
-                "tests/test_resize.py); full-range window is byte-identical "
-                "to the reference normalization; fused-tanh tower feature "
-                "cosine >= 0.99998 vs the exact tower (PERF.md), AUC-parity "
-                "gated by tests"
+                "tests/test_resize.py); at DEFAULT precision the on-TPU "
+                "resample runs bf16-truncated (error bound pinned by "
+                "tests/test_resize.py::test_default_precision_truncation_"
+                "bound; 'highest' is oracle-exact on chip); full-range "
+                "window is byte-identical to the reference normalization; "
+                "fused-tanh tower feature cosine >= 0.99998 vs the exact "
+                "tower (PERF.md), AUC-parity gated by tests"
             ),
             "tiny": tiny,
         },

@@ -41,10 +41,11 @@ def encode_inputs(cfg, image_id=None, exam_id=None):
     must see identically-prepared pixels here, or the cascade ranks features
     from a shifted input distribution."""
     module, params, cn_config = load_convnext_tower(cfg)
-    resize_hw, resize_method, window = parse_ingest_knobs(cfg)
+    resize_hw, resize_method, resize_precision, window = parse_ingest_knobs(cfg)
     program = build_encode_program(
         module, params, cn_config.in_channels,
         window=window, resize_hw=resize_hw, resize_method=resize_method,
+        resize_precision=resize_precision,
     )
 
     def encode_one(path):

@@ -535,8 +535,15 @@ class Tokenizer:
         max_length = max_length or self.sequence_length
 
         if not self.is_fallback:
+            # padding="max_length" promises a FIXED (n, max_length) canvas
+            # (jit static shapes downstream); raw HF semantics with
+            # truncation=False would leave over-length rows uncut (ragged
+            # batch -> np stacking error).  Force the cut so both backends
+            # agree: the fallback path below applies the family truncate
+            # rule for the same combination.
             out = self._backend(
-                list(texts), padding=padding, truncation=truncation,
+                list(texts), padding=padding,
+                truncation=truncation or padding == "max_length",
                 max_length=max_length, return_tensors="np",
             )
             result = {k: np.asarray(v) for k, v in out.items()}

@@ -111,6 +111,20 @@ def load_convnext_tower(config, seed: int = 0):
             "image_encoder.config.use_fused_blocks=true (or use the "
             "clip_convnext_fused_* presets) to activate them."
         )
+    if overrides.get("fuse_downsample") and overrides.get("use_fused_blocks") and (
+        config.get_path("dataset.config.encode_resize", None)
+        or config.get_path("dataset.config.encode_bucket_rounding", 0)
+    ):
+        # the fused downsample is additionally gated on `valid_hw is None`
+        # (the per-image mask between LN and conv is not expressible in the
+        # global-pad kernel) — and encode_resize / bucket rounding ALWAYS
+        # run the masked tower path, so the knob would be a silent no-op
+        logger.warning(
+            "fuse_downsample has no effect on masked-tower encodes: "
+            "encode_resize / encode_bucket_rounding run the valid_hw path, "
+            "which keeps the flax downsample (models/convnext.py). The knob "
+            "only applies to exact-shape unmasked encodes."
+        )
     if overrides.get("gelu"):
         # "tanh" swaps the exact-erf GELU for the tanh approximation in
         # BOTH the fused kernel and the lax path (~3e-4 max abs error, an
@@ -153,7 +167,8 @@ def load_convnext_tower(config, seed: int = 0):
 
 def parse_ingest_knobs(config):
     """``dataset.config.encode_resize`` / ``encode_resize_method`` /
-    ``encode_window`` -> ``(resize_hw, resize_method, window)``.
+    ``encode_resize_precision`` / ``encode_window`` ->
+    ``(resize_hw, resize_method, resize_precision, window)``.
 
     ONE parser for every consumer — the feature-store encode (_Encoder),
     serving (InferenceEngine) and generate_report — so online features
@@ -169,13 +184,25 @@ def parse_ingest_knobs(config):
         resize_hw = (int(resize), int(resize))
     resize_method = str(
         config.get_path("dataset.config.encode_resize_method", "area") or "area")
+    # "default" = single bf16 MXU pass (fast; truncation bounded by
+    # tests/test_resize.py); "highest" = oracle-exact fp32 on TPU at ~6
+    # passes per matmul.  See ops/resize.py::resize2d.
+    precision = str(
+        config.get_path("dataset.config.encode_resize_precision", "default")
+        or "default")
+    if precision not in ("default", "highest"):
+        raise ValueError(
+            "dataset.config.encode_resize_precision must be 'default' or "
+            f"'highest', got {precision!r}")
+    resize_precision = jax.lax.Precision.HIGHEST if precision == "highest" else None
     window = config.get_path("dataset.config.encode_window", None)
     window = (float(window[0]), float(window[1])) if window else None
-    return resize_hw, resize_method, window
+    return resize_hw, resize_method, resize_precision, window
 
 
 def build_encode_program(module, params, in_ch: int, window=None,
-                         resize_hw=None, resize_method: str = "area"):
+                         resize_hw=None, resize_method: str = "area",
+                         resize_precision=None):
     """The jitted ``[n, H, W] uint8/uint16 -> [n, d] features`` program.
 
     Without ``resize_hw``: intensity transform (optionally windowed) fused
@@ -203,7 +230,8 @@ def build_encode_program(module, params, in_ch: int, window=None,
     @jax.jit
     def encode(pixels_u8):  # [n, H, W] uint8/uint16, any native shape
         raw = to_16bit(pixels_u8)
-        y, valid_hw = resize_to_canvas(raw, resize_hw, method=resize_method)
+        y, valid_hw = resize_to_canvas(raw, resize_hw, method=resize_method,
+                                       precision=resize_precision)
         x = normalize_16bit(y, window=window)[..., None]
         # zero the canvas pad AFTER normalization (raw zeros map to -1,
         # a strong signal) — the masked-tower convention
@@ -236,7 +264,8 @@ class _Encoder:
         # crop/pad -> RESIZE -> INTENSITY WINDOWING -> normalization).  The
         # reference resizes nothing (image_features.py:28, ToTensor only) —
         # both knobs are off by default and PARITY.md documents them.
-        self.resize_hw, self.resize_method, self.window = parse_ingest_knobs(config)
+        (self.resize_hw, self.resize_method, self.resize_precision,
+         self.window) = parse_ingest_knobs(config)
         if self.resize_hw and self.bucket_rounding:
             # resize already maps every image onto ONE output canvas; input
             # buckets stay exact-shape so each native resolution gets exact
@@ -287,6 +316,7 @@ class _Encoder:
             self.module, self.params, self.cn_config.in_channels,
             window=self.window, resize_hw=self.resize_hw,
             resize_method=self.resize_method,
+            resize_precision=self.resize_precision,
         )
 
     def _masked_encode_fn(self):

@@ -70,13 +70,25 @@ def _resize_weights(n_in: int, n_out: int, method: str) -> np.ndarray:
 
 
 def resize2d(x, out_hw: Tuple[int, int], method: str = "area",
-             dtype=jnp.float32):
+             dtype=jnp.float32, precision=None):
     """Resize [..., H, W] or [n, H, W, C] images to ``out_hw``.
 
     The channel axis is detected by convention: rank-4 inputs are NHWC,
     everything else treats the last two axes as (H, W).  Compute is fp32
     (weight rows sum to 1, so uint8 inputs stay in the uint8 value range);
     cast to ``dtype`` on the way out.
+
+    ``precision``: matmul precision for the two einsums.  ``None`` (the
+    default) lowers to a SINGLE bf16 MXU pass on TPU — XLA truncates fp32
+    operands to bf16 — which is the fast path the bench prices at the bf16
+    peak; the truncation error is bounded by
+    tests/test_resize.py::test_default_precision_truncation_bound (~1e-2
+    worst-case / ~5e-3 mean of the post-normalization [-1, 1] range,
+    verified on the real chip by a DEFAULT-vs-HIGHEST probe).  Pass
+    ``jax.lax.Precision.HIGHEST`` (config:
+    ``dataset.config.encode_resize_precision: highest``) for oracle-exact
+    resampling on TPU at ~6 MXU passes per matmul.  Off-TPU (CPU tests,
+    oracles) fp32 is exact either way.
     """
     nhwc = x.ndim == 4
     h_ax, w_ax = (1, 2) if nhwc else (x.ndim - 2, x.ndim - 1)
@@ -86,11 +98,11 @@ def resize2d(x, out_hw: Tuple[int, int], method: str = "area",
     rw = jnp.asarray(_resize_weights(w_in, w_out, method))
     xf = x.astype(jnp.float32)
     if nhwc:
-        y = jnp.einsum("oh,nhwc->nowc", rh, xf)
-        y = jnp.einsum("pw,nowc->nopc", rw, y)
+        y = jnp.einsum("oh,nhwc->nowc", rh, xf, precision=precision)
+        y = jnp.einsum("pw,nowc->nopc", rw, y, precision=precision)
     else:
-        y = jnp.einsum("oh,...hw->...ow", rh, xf)
-        y = jnp.einsum("pw,...ow->...op", rw, y)
+        y = jnp.einsum("oh,...hw->...ow", rh, xf, precision=precision)
+        y = jnp.einsum("pw,...ow->...op", rw, y, precision=precision)
     return y.astype(dtype)
 
 
@@ -104,7 +116,7 @@ def fit_shape(in_hw: Tuple[int, int], canvas_hw: Tuple[int, int]) -> Tuple[int, 
 
 
 def resize_to_canvas(x, canvas_hw: Tuple[int, int], method: str = "area",
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, precision=None):
     """Aspect-preserving resize of [n, H, W] images onto a fixed canvas.
 
     Images scale (up or down) to fit ``canvas_hw`` without distortion and
@@ -116,7 +128,7 @@ def resize_to_canvas(x, canvas_hw: Tuple[int, int], method: str = "area",
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
     ch, cw = int(canvas_hw[0]), int(canvas_hw[1])
     vh, vw = fit_shape((h, w), (ch, cw))
-    y = resize2d(x, (vh, vw), method=method, dtype=dtype)
+    y = resize2d(x, (vh, vw), method=method, dtype=dtype, precision=precision)
     y = jnp.pad(y, ((0, 0), (0, ch - vh), (0, cw - vw)))
     valid_hw = jnp.broadcast_to(jnp.asarray([vh, vw], jnp.int32), (n, 2))
     return y, valid_hw

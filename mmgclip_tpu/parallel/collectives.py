@@ -177,6 +177,11 @@ def _ring_tileable(x) -> bool:
     the shard and the dynamic chunk offsets inside the kernel must land on
     tile boundaries."""
     chunk, d = x.shape
+    if x.dtype.itemsize > 4:
+        # 8-byte dtypes (f64/c64 under jax_enable_x64) have no Mosaic VMEM
+        # tile — route to the XLA fallback rather than dividing by a
+        # zero-sized sublane below
+        return False
     sublane = 8 * (4 // max(1, x.dtype.itemsize))
     return not (chunk % sublane or d % 128)
 

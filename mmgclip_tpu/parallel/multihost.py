@@ -359,7 +359,10 @@ def _worker_experiment(num_processes: int, process_id: int, coordinator: str,
     scratch = os.path.join(root, f"scratch{num_processes}_{process_id}")
     cfg.base.export_dir = os.path.join(scratch, "out")
     cfg.base.tensorboard_export_dir = os.path.join(scratch, "runs")
-    cfg.checkpoints.checkpoints_export_dir = os.path.join(scratch, "ckpt")
+    # SHARED checkpoint dir (the pod contract: single-writer process 0 into
+    # a filesystem every host sees) — the save/resume round trip below
+    # exercises exactly that
+    cfg.checkpoints.checkpoints_export_dir = os.path.join(root, "ckpt_shared")
     cfg.tokenizer.config.sequence_length = 32
     cfg.networks.text_encoder = Config({
         "name": "BertEncoder",
@@ -406,15 +409,29 @@ def _worker_experiment(num_processes: int, process_id: int, coordinator: str,
         assert any("data" in s for s in specs), \
             "ZeRO-1 rehearsal left every moment replicated"
     loss = exp.train()
-    if jax.process_index() == 0:
-        leaves = jax.tree_util.tree_leaves(exp.params)
-        flat = np.concatenate([
+
+    def _flat_params():
+        return np.concatenate([
             np.asarray(leaf.addressable_data(0), np.float64).ravel()
-            for leaf in leaves
+            for leaf in jax.tree_util.tree_leaves(exp.params)
         ])
-        np.savez(out_path, loss=np.float64(loss), params=flat)
-    print(f"mh_exp worker {process_id}/{num_processes}: loss={loss:.6f} ok=1",
-          flush=True)
+
+    if jax.process_index() == 0:
+        np.savez(out_path, loss=np.float64(loss), params=_flat_params())
+
+    # pod-shaped checkpoint round trip (save is a COLLECTIVE when leaves are
+    # non-addressable — EP/ZeRO layouts — and single-writer into the shared
+    # dir; resume re-places every leaf via put_global on every process).
+    # This is the path the r4 rehearsal never drove: it only called train().
+    before = _flat_params()
+    exp.early_stopper(loss, 0, exp.params, exp.opt_state, exp.ckp_path,
+                      rng_key=exp.rng_key, extra=exp._scheduler_state())
+    assert exp.resume(), "checkpoint round trip: resume() found no checkpoint"
+    ck_err = float(np.max(np.abs(_flat_params() - before)))
+    assert ck_err == 0.0, f"checkpoint round trip changed params: {ck_err}"
+
+    print(f"mh_exp worker {process_id}/{num_processes}: loss={loss:.6f} "
+          f"ck_err={ck_err:.1e} ok=1", flush=True)
 
 
 def run_multihost_experiment_dryrun(n_processes: int = 2, n_devices: int = 4,

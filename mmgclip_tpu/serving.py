@@ -68,7 +68,7 @@ class InferenceEngine:
         # config sets encode_resize / encode_window, online encodes must
         # apply them too, or served features silently come from a different
         # input distribution than the one the classifier was trained on
-        resize_hw, resize_method, window = parse_ingest_knobs(config)
+        resize_hw, resize_method, resize_precision, window = parse_ingest_knobs(config)
         if resize_hw or window:
             logger.info(
                 f"Serving encode applies the configured ingest chain: "
@@ -77,9 +77,11 @@ class InferenceEngine:
         self._encode_jit = build_encode_program(
             self.encode_module, self.encode_params, self.cn_config.in_channels,
             window=window, resize_hw=resize_hw, resize_method=resize_method,
+            resize_precision=resize_precision,
         )
         self._prompt_cache: Dict[tuple, jnp.ndarray] = {}
         self._cascade_table = None
+        self._decode_pool = None  # lazy; see encode_paths
         # the projection/classify math is tiny but eager dispatch costs one
         # slow RPC per op on a remote device link (SKILL: eager is
         # pathologically slow over the tunnel) — one jitted call each;
@@ -107,21 +109,43 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def encode_paths(self, paths: Sequence[str]) -> np.ndarray:
-        """PNG paths -> [n, 768] features, bucketed by shape."""
-        from collections import defaultdict
+        """PNG paths -> [n, 768] features, bucketed by shape.
 
+        Host decode rides a thread pool and the per-bucket device calls are
+        double-buffered (async H2D + dispatch, drain one behind) — the same
+        overlap discipline as the ingest ``_Encoder`` — so path-based serve
+        traffic isn't bounded by serial PIL decode on the executor thread.
+        Decode errors raise to the caller (per-request error contract),
+        unlike the ingest pipeline's skip-and-log ``failed.txt`` sweep."""
+        from collections import defaultdict
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._decode_pool is None:
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="serve-decode"
+            )
+        decoded = list(self._decode_pool.map(decode_png, paths))
         buckets = defaultdict(list)
-        for i, path in enumerate(paths):
-            pixels = decode_png(path)
+        for i, pixels in enumerate(decoded):
             # dtype in the key: stacking mixed uint8/uint16 would promote to
             # uint16 and mis-scale the intensity transform (see ingest)
             buckets[(*pixels.shape, pixels.dtype.str)].append((i, pixels))
         out = np.zeros((len(paths), self.cn_config.dims[-1]), np.float32)
-        for _shape, items in buckets.items():
-            stack = jnp.asarray(np.stack([px for _i, px in items]))
-            feats = np.asarray(self._encode_jit(stack))
+        pending = []  # [(items, device_result)]
+
+        def drain_one():
+            items, result = pending.pop(0)
+            feats = np.asarray(result)
             for (i, _px), vec in zip(items, feats):
                 out[i] = vec
+
+        for _shape, items in buckets.items():
+            stack = jnp.asarray(np.stack([px for _i, px in items]))  # async H2D
+            pending.append((items, self._encode_jit(stack)))  # async dispatch
+            if len(pending) > 1:
+                drain_one()
+        while pending:
+            drain_one()
         return out
 
     def encode_exam(self, exam_dir: str, method: Optional[str] = None, n_views: int = 4) -> np.ndarray:

@@ -22,6 +22,41 @@ from ..utils.logging import logger
 from ..utils.seeding import create_directory_if_not_exists
 
 
+def _host_leaf(x):
+    """device_get that also survives multi-process shardings.
+
+    ``jax.device_get`` raises on an array spanning non-addressable devices
+    (expert-sharded params, ZeRO-sharded moments, or even replicated arrays
+    on a >1-process mesh).  Those leaves are reassembled to their FULL
+    global value via an across-process all-gather, so every host holds the
+    complete state.  NOTE this makes checkpoint saving a COLLECTIVE on
+    multi-process runs — every process must reach the save point (they do:
+    the early-stopper decision derives from the replicated val loss)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return jax.device_get(x)
+
+
+def _host_tree(tree):
+    return jax.tree_util.tree_map(_host_leaf, tree)
+
+
+def _template_host(tree):
+    """Host-side restore templates: non-addressable global leaves become
+    zero arrays of the GLOBAL shape (flax ``from_bytes`` only reads
+    structure + shape/dtype from the target; the caller re-places restored
+    values onto their shardings via ``put_global``)."""
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.zeros(x.shape, x.dtype)
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def save_checkpoint(
     path: str,
     params,
@@ -39,13 +74,25 @@ def save_checkpoint(
         "val_loss": float(val_loss),
         "best_score": best_score,
         "counter": counter,
-        "params": serialization.to_bytes(jax.device_get(params)),
-        "opt_state": serialization.to_bytes(jax.device_get(opt_state)) if opt_state is not None else None,
-        "rng_key": np.asarray(jax.random.key_data(rng_key)).tolist() if rng_key is not None else None,
+        # the gathers run on EVERY process (collective); see _host_leaf
+        "params": serialization.to_bytes(_host_tree(params)),
+        "opt_state": serialization.to_bytes(_host_tree(opt_state)) if opt_state is not None else None,
+        "rng_key": np.asarray(_host_leaf(jax.random.key_data(rng_key))).tolist() if rng_key is not None else None,
         "extra": extra or {},
     }
-    with open(path, "wb") as fh:
-        pickle.dump(state, fh)
+    if jax.process_count() == 1 or jax.process_index() == 0:
+        with open(path, "wb") as fh:
+            pickle.dump(state, fh)
+    # single-writer contract on a pod: the export dir is expected to be
+    # shared (NFS/GCS-fuse), and N processes truncating + pickling the same
+    # file concurrently would corrupt it.  Process 0 writes; the others have
+    # already done their part of the gather above.  The barrier makes the
+    # contract sequential: when save_checkpoint returns anywhere, the file
+    # is durably written — callers may immediately resume() on any host.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"save_checkpoint:{os.path.basename(path)}")
     return path
 
 
@@ -57,9 +104,9 @@ def save_checkpoint_orbax(directory: str, params, opt_state=None, **scalars) -> 
 
     directory = os.path.abspath(directory)
     checkpointer = ocp.PyTreeCheckpointer()
-    state = {"params": jax.device_get(params)}
+    state = {"params": _host_tree(params)}
     if opt_state is not None:
-        state["opt_state"] = jax.device_get(opt_state)
+        state["opt_state"] = _host_tree(opt_state)
     state["scalars"] = {k: v for k, v in scalars.items() if v is not None}
     checkpointer.save(directory, state, force=True)
     return directory
@@ -83,10 +130,10 @@ def load_checkpoint(path: str, params_template, opt_state_template=None) -> Dict
         "counter": state["counter"],
         "extra": state.get("extra", {}),
     }
-    out["params"] = serialization.from_bytes(jax.device_get(params_template), state["params"])
+    out["params"] = serialization.from_bytes(_template_host(params_template), state["params"])
     if state.get("opt_state") is not None and opt_state_template is not None:
         out["opt_state"] = serialization.from_bytes(
-            jax.device_get(opt_state_template), state["opt_state"]
+            _template_host(opt_state_template), state["opt_state"]
         )
     if state.get("rng_key") is not None:
         out["rng_key"] = jax.random.wrap_key_data(

@@ -679,7 +679,24 @@ class ClassifierExperiment:
     def resume(self) -> bool:
         """Restore a full train state if a checkpoint exists (new capability;
         the reference saved optimizer state but never reloaded it)."""
-        if not os.path.isfile(self.ckp_path):
+        found = os.path.isfile(self.ckp_path)
+        if jax.process_count() > 1:
+            # the pod save contract is single-writer into a SHARED dir
+            # (checkpoint.py); if hosts disagree on the file's existence the
+            # dir isn't shared, and silently diverging (some resume, some
+            # don't) would deadlock the first collective — fail loudly.
+            from jax.experimental import multihost_utils
+
+            views = np.asarray(
+                multihost_utils.process_allgather(np.asarray([found]))
+            ).reshape(-1)
+            if views.any() != views.all():
+                raise RuntimeError(
+                    "Checkpoint visible on some processes but not others: "
+                    "base.checkpoints_export_dir must be a SHARED filesystem "
+                    f"on multi-process runs (path {self.ckp_path!r})."
+                )
+        if not found:
             return False
         state = load_checkpoint(self.ckp_path, self.params, self.opt_state)
         # restore each leaf onto its CURRENT placement (replicated, or

@@ -267,3 +267,52 @@ def test_glue_knobs_without_fused_blocks_warn(monkeypatch):
          "fuse_downsample": True, "use_fused_blocks": True})
     load_convnext_tower(cfg)
     assert not any("no effect" in w for w in warnings)
+
+def test_default_precision_truncation_bound():
+    """DEFAULT-precision f32 einsums lower to a SINGLE bf16 MXU pass on TPU
+    (chip-verified: DEFAULT matmul of 1+2^-12 returns exactly 1.0, HIGHEST
+    returns 1.000244).  Bound the error that truncation injects into the
+    shipped resize chain: simulate the bf16 pass on CPU (bf16 operands, f32
+    accumulation) against the exact fp32 resample, after full-range
+    normalization to [-1, 1] — the tower's input domain."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 65536, size=(2, 230, 190), dtype=np.uint16)
+    xf = jnp.asarray(x, jnp.float32)
+
+    exact = np.asarray(resize2d(xf, (64, 48), method="area"))
+
+    from mmgclip_tpu.ops.resize import _resize_weights as W
+    rh = jnp.asarray(W(230, 64, "area"), jnp.bfloat16)
+    rw = jnp.asarray(W(190, 48, "area"), jnp.bfloat16)
+    xb = xf.astype(jnp.bfloat16)
+    y = jnp.einsum("oh,nhw->now", rh, xb, preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,now->nop", rw, y.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    trunc = np.asarray(y)
+
+    # post-normalization (the tower's input): (v - 32767.5) / 32767.5
+    err = np.abs(trunc - exact) / 32767.5
+    assert err.max() < 1.2e-2, err.max()  # ~1% of the [-1, 1] range worst-case
+    assert np.mean(err) < 6e-3, err.mean()
+
+
+def test_encode_resize_precision_knob(tmp_path):
+    """dataset.config.encode_resize_precision: validation + plumbed through
+    parse_ingest_knobs ('highest' -> lax.Precision.HIGHEST; bad -> loud)."""
+    import jax
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest.encode import parse_ingest_knobs
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.dataset.config["encode_resize"] = 64
+    hw, method, prec, window = parse_ingest_knobs(cfg)
+    assert hw == (64, 64) and prec is None
+
+    cfg.dataset.config["encode_resize_precision"] = "highest"
+    _hw, _m, prec, _w = parse_ingest_knobs(cfg)
+    assert prec == jax.lax.Precision.HIGHEST
+
+    cfg.dataset.config["encode_resize_precision"] = "bf16"
+    with pytest.raises(ValueError, match="encode_resize_precision"):
+        parse_ingest_knobs(cfg)
