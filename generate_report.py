@@ -63,6 +63,12 @@ def encode_inputs(cfg, image_id=None, exam_id=None):
         raise ValueError(f"Wrong value passed to exam_id {exam_id}.")
     path = mmgclip_tpu.create_exam_path(exam_id, base_dataset_path=cfg.dataset.config.base_dataset_path)
     assert os.path.isdir(path) and os.listdir(path), f"No exam found inside `{path}`."
+    # reference parity: EVERY file in the exam dir is encoded, unfiltered and
+    # uncapped (reference: generate_report.py:110-126 iterates os.listdir);
+    # a sidecar file fails the exam into failed_inference.txt, exactly like
+    # the reference.  The serving engine deliberately diverges (PNG filter +
+    # n_views cap, serving.py::encode_exam) — it has no reference counterpart
+    # and must survive arbitrary exam dirs.
     views = jnp.stack([encode_one(os.path.join(path, v)) for v in sorted(os.listdir(path))])
     method = cfg.dataset.config.concatenate_features_method
     fused = fuse_views(views, method)
@@ -87,7 +93,13 @@ def main() -> None:
                         help="Seed for template sampling (default: config seed).")
     args = parser.parse_args()
 
-    experiment_path = os.path.join("outputs", args.experiment_path)
+    # accept the run folder inside outputs/ OR an existing/absolute run dir —
+    # same resolution as evaluate_clip.py/serve.py, so the copy-paste form
+    # '--experiment_path outputs/yyyy-mm-dd/...' doesn't resolve to
+    # outputs/outputs/... and fail with a confusing missing-snapshot error
+    experiment_path = args.experiment_path
+    if not os.path.isabs(experiment_path) and not os.path.isdir(experiment_path):
+        experiment_path = os.path.join("outputs", experiment_path)
     cfg = recompose(experiment_path)
     cfg.base.export_dir = experiment_path
     cfg.base.results_export_dir = os.path.join(experiment_path, "results")

@@ -181,6 +181,16 @@ class Evaluator:
         """Fixed prompt per class, argmax + bootstrap CI
         (reference: evaluator.py:321-478)."""
         logger.info(f"Evaluating zero-shot label prompts for {key}.")
+        if key not in _LABEL_PROMPTS:
+            # e.g. the gtr_* enums are valid dataset.eval.enum_classes values
+            # but have no fixed label-prompt bank — skip loudly instead of a
+            # KeyError that would abort the run and discard every completed
+            # per-enum result before results.txt/results.json are written
+            logger.warning(
+                f"zeroshot_label_prompt has no prompt bank for {key!r} "
+                f"(available: {sorted(_LABEL_PROMPTS)}); skipping this enum."
+            )
+            return None
         labels = [process_class_list([pl[key]]) for pl in label_names]
         classes_prompts = process_class_list(list(classes_dict.keys()))
         prompts = _LABEL_PROMPTS[key](classes_prompts)
@@ -348,9 +358,10 @@ class Evaluator:
                 }
             if "zeroshot_label_prompt" in methods:
                 results = self.zeroshot_label_prompt(image_embeddings, prompt_labels, classes_dict, enum_class_name)
-                logger.info(f"zeroshot_label_prompt results for {enum_class_name}:\n{results}")
-                experiments_results.append(results)
-                results_json[enum_class_name]["zeroshot_label_prompt"] = results
+                if results is not None:  # None = no prompt bank, skipped loudly
+                    logger.info(f"zeroshot_label_prompt results for {enum_class_name}:\n{results}")
+                    experiments_results.append(results)
+                    results_json[enum_class_name]["zeroshot_label_prompt"] = results
             if "confustion_matrix" in methods:
                 conf = self.clf_conf_matrix(image_embeddings, prompt_labels, classes_dict, enum_class_name)
                 results_json[enum_class_name]["confusion_matrix"] = np.asarray(conf).tolist()

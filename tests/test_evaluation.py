@@ -74,3 +74,12 @@ def test_mean_roc_curve():
     mean_fpr, mean_tpr, std, mean_auc = M.mean_roc_curve([(fpr1, tpr1), (fpr2, tpr2)])
     assert mean_fpr.shape == mean_tpr.shape == (100,)
     assert 0.5 < mean_auc <= 1.0
+
+def test_zeroshot_label_prompt_skips_unknown_enum():
+    """Enums without a fixed label-prompt bank (the gtr_* families are valid
+    dataset.eval.enum_classes values) must skip loudly, not KeyError away the
+    whole evaluation run before results.txt is written."""
+    from mmgclip_tpu.evaluation.evaluator import Evaluator
+
+    out = Evaluator.zeroshot_label_prompt(None, None, None, None, "gtr_MassMargin")
+    assert out is None

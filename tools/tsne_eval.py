@@ -46,9 +46,14 @@ def main() -> None:
     )
     embeddings, prompt_labels = [], []
     for batch in loader:
+        # keep per-batch results ON DEVICE; one D2H fetch total below — a
+        # fetch costs ~0.5 s on the tunnel regardless of size (the evaluator
+        # uses the same single-fetch discipline, evaluator.py)
         embeddings.append(engine.image_embeddings(np.asarray(batch["image_features"])))
         prompt_labels.extend(batch["prompt_labels"])
-    embeddings = np.concatenate(embeddings, axis=0)
+    import jax.numpy as jnp
+
+    embeddings = np.asarray(jnp.concatenate(embeddings, axis=0))
 
     from sklearn.manifold import TSNE
 
