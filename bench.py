@@ -1378,7 +1378,11 @@ def bench_ingest() -> dict:
     Env knobs: BENCH_NATIVE_SIZE (2294x1914), BENCH_CANVAS (256),
     BENCH_BATCH (16), BENCH_ITERS (4), BENCH_WINDOWS (3),
     BENCH_WINDOW ('center,width', default full-range = reference-exact),
-    BENCH_PCIE_GBPS (8.0), BENCH_TINY=1 (CPU smoke: micro tower).
+    BENCH_PCIE_GBPS (8.0), BENCH_TINY=1 (CPU smoke: micro tower),
+    BENCH_RESIZE_PRECISION (default|highest),
+    BENCH_HOST_PREPOOL (0; k>0 = host k x k block sums cross the link —
+    2 bytes per k^2 pixels — and the device resamples the block means;
+    e2e windows pay the host prepool cost honestly).
     """
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -1409,6 +1413,9 @@ def bench_ingest() -> dict:
     # HIGHEST returns 1.000244), so the bf16 peak is the correct price;
     # HIGHEST runs the ~6-pass fp32 decomposition
     resize_mxu_passes = 6.0 if precision_name == "highest" else 1.0
+    # host-side exact block-sum prepool (ops/resize.py::host_block_sum):
+    # the PCIe lever — k=4 cuts native uint8 bytes 8x (2 bytes per k^2 px)
+    prepool = int(os.environ.get("BENCH_HOST_PREPOOL", 0) or 0)
 
     base = ConvNeXtConfig.micro() if tiny else ConvNeXtConfig.tiny()
     # the product fast path: fused blocks + tanh GELU
@@ -1419,27 +1426,56 @@ def bench_ingest() -> dict:
     params = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
-    @jax.jit
-    def chain(pixels_u8):  # [n, H, W] native uint8 -> pooled features
-        raw = to_16bit(pixels_u8)
-        y, valid_hw = resize_to_canvas(raw, canvas, method="area",
-                                       precision=resize_precision)
-        x = normalize_16bit(y, window=window)[..., None].astype(dtype)
-        x = x * _valid_mask(x, valid_hw)
-        return module.apply(params, x, valid_hw=valid_hw)
+    if prepool:
+        from mmgclip_tpu.ops.resize import (host_block_sum,
+                                            resize_to_canvas_from_block_sums)
 
-    @jax.jit
-    def resize_only(pixels_u8):
-        raw = to_16bit(pixels_u8)
-        y, valid_hw = resize_to_canvas(raw, canvas, method="area",
-                                       precision=resize_precision)
-        return normalize_16bit(y, window=window).astype(dtype), valid_hw
+        def _front(block_sums):
+            # uint16 sums <=> uint8 source: x257 into the 16-bit domain
+            y, valid_hw = resize_to_canvas_from_block_sums(
+                block_sums, native, canvas, prepool, method="area",
+                precision=resize_precision)
+            return normalize_16bit(y * 257.0, window=window), valid_hw
+
+        @jax.jit
+        def chain(block_sums):  # [n, Hb, Wb] uint16 block sums
+            y, valid_hw = _front(block_sums)
+            x = y[..., None].astype(dtype)
+            x = x * _valid_mask(x, valid_hw)
+            return module.apply(params, x, valid_hw=valid_hw)
+
+        @jax.jit
+        def resize_only(block_sums):
+            y, valid_hw = _front(block_sums)
+            return y.astype(dtype), valid_hw
+
+        def to_host_payload(buf):
+            return host_block_sum(buf, prepool)
+    else:
+        @jax.jit
+        def chain(pixels_u8):  # [n, H, W] native uint8 -> pooled features
+            raw = to_16bit(pixels_u8)
+            y, valid_hw = resize_to_canvas(raw, canvas, method="area",
+                                           precision=resize_precision)
+            x = normalize_16bit(y, window=window)[..., None].astype(dtype)
+            x = x * _valid_mask(x, valid_hw)
+            return module.apply(params, x, valid_hw=valid_hw)
+
+        @jax.jit
+        def resize_only(pixels_u8):
+            raw = to_16bit(pixels_u8)
+            y, valid_hw = resize_to_canvas(raw, canvas, method="area",
+                                           precision=resize_precision)
+            return normalize_16bit(y, window=window).astype(dtype), valid_hw
+
+        def to_host_payload(buf):
+            return buf
 
     rng = np.random.default_rng(0)
     n_buf = 3
     host_bufs = [rng.integers(0, 256, size=(batch, *native), dtype=np.uint8)
                  for _ in range(n_buf)]
-    device_pixels = jnp.asarray(host_bufs[0])
+    device_pixels = jnp.asarray(to_host_payload(host_bufs[0]))
     chain(device_pixels).block_until_ready()  # warm/compile
     resize_only(device_pixels)[0].block_until_ready()
 
@@ -1458,12 +1494,15 @@ def bench_ingest() -> dict:
         timed_rate(resize_only, fetch=lambda out: fence(out[0]))
         for _ in range(windows))
 
-    # e2e: double-buffered H2D of native uint8 + the fused chain
+    # e2e: double-buffered H2D of the host payload (native uint8, or the
+    # prepooled block sums — then the loop pays the HOST prepool cost too,
+    # honestly) + the fused chain
     def e2e_window():
         start = time.perf_counter()
-        dev = jax.device_put(host_bufs[0])
+        dev = jax.device_put(to_host_payload(host_bufs[0]))
         for i in range(iters):
-            nxt = jax.device_put(host_bufs[(i + 1) % n_buf]) if i + 1 < iters else None
+            nxt = (jax.device_put(to_host_payload(host_bufs[(i + 1) % n_buf]))
+                   if i + 1 < iters else None)
             out = chain(dev)
             dev = nxt
         fence(out)
@@ -1486,18 +1525,24 @@ def bench_ingest() -> dict:
     mfu_env = os.environ.get("BENCH_ASSUME_MFU")
     mfu = float(mfu_env) if mfu_env else 0.86  # r4's measured encode MFU
     vh, vw = fit_shape(native, canvas)
-    # dense separable resample: Rh[vh,H] @ x[H,W] then [vh,W] @ Rw^T[W,vw]
-    resize_flops = 2 * vh * native[0] * native[1] + 2 * vh * vw * native[1]
+    # dense separable resample: Rh[vh,H] @ x[H,W] then [vh,W] @ Rw^T[W,vw];
+    # with prepool the matmuls run over the ceil(H/k) x ceil(W/k) block grid
+    # and the link carries 2-byte sums instead of 1-byte pixels
+    hb = -(-native[0] // prepool) if prepool else native[0]
+    wb = -(-native[1] // prepool) if prepool else native[1]
+    in_bytes_px = 2 if prepool else 1
+    resize_flops = 2 * vh * hb * wb + 2 * vh * vw * wb
     t_resize = resize_flops * resize_mxu_passes / (197e12 * mfu)
-    # resize HBM: read u8 native + write the canvas f32 (the [vh, W]
-    # intermediate fuses with the second matmul)
-    t_resize_hbm = (native[0] * native[1] + 4 * canvas[0] * canvas[1]) / (819e9 * 0.8)
+    # resize HBM: read the device payload + write the canvas f32 (the
+    # [vh, W] intermediate fuses with the second matmul)
+    t_resize_hbm = (hb * wb * in_bytes_px + 4 * canvas[0] * canvas[1]) / (819e9 * 0.8)
     _sol, tower_rate, _summary = _v5e_per_layer_projection(
         canvas, mfu, fused=True, batch=batch, gelu_flops=8)
     t_chain = max(t_resize, t_resize_hbm) + 1.0 / tower_rate
     v5e_compute = 1.0 / t_chain
     pcie_gbps = float(os.environ.get("BENCH_PCIE_GBPS", 8.0))
-    bytes_per_image = native[0] * native[1]  # uint8 over the link
+    # uint8 pixels over the link — or 2-byte block sums per k^2 pixels
+    bytes_per_image = hb * wb * in_bytes_px
     v5e_pcie = pcie_gbps * 1e9 / bytes_per_image
     v5e_e2e = min(v5e_compute, v5e_pcie)
 
@@ -1518,6 +1563,7 @@ def bench_ingest() -> dict:
                          "valid_hw": [vh, vw], "window": list(window),
                          "precision": precision_name,
                          "resize_mxu_passes_priced": resize_mxu_passes,
+                         "host_prepool": prepool,
                          "resize_gflops_per_image": round(resize_flops / 1e9, 3)},
             "v5e_projection": {
                 "compute_img_per_sec": round(v5e_compute, 0),
@@ -1537,7 +1583,9 @@ def bench_ingest() -> dict:
                     "BENCH_RESIZE_PRECISION / dataset.config."
                     "encode_resize_precision) + the fused-tanh tower's "
                     "per-layer v5e projection at the canvas size; pcie = "
-                    "native uint8 bytes/image over BENCH_PCIE_GBPS (v5e "
+                    "link bytes/image (native uint8, or 2-byte host block "
+                    "sums per k^2 px under BENCH_HOST_PREPOOL / dataset."
+                    "config.encode_host_prepool) over BENCH_PCIE_GBPS (v5e "
                     "hosts share PCIe gen3 across chips — 8 GB/s/chip is "
                     "the conservative default; pass the deployment's real "
                     "share). The UNRESIZED native-res tower is priced by "

@@ -41,15 +41,20 @@ def encode_inputs(cfg, image_id=None, exam_id=None):
     must see identically-prepared pixels here, or the cascade ranks features
     from a shifted input distribution."""
     module, params, cn_config = load_convnext_tower(cfg)
-    resize_hw, resize_method, resize_precision, window = parse_ingest_knobs(cfg)
+    resize_hw, resize_method, resize_precision, window, prepool = parse_ingest_knobs(cfg)
     program = build_encode_program(
         module, params, cn_config.in_channels,
         window=window, resize_hw=resize_hw, resize_method=resize_method,
-        resize_precision=resize_precision,
+        resize_precision=resize_precision, prepool=prepool,
     )
 
     def encode_one(path):
         pixels = decode_png(path)
+        if prepool:
+            from mmgclip_tpu.ops.resize import host_block_sum
+
+            sums = host_block_sum(pixels[None], prepool)
+            return program(jnp.asarray(sums), native_hw=pixels.shape[:2])[0]
         return program(jnp.asarray(pixels)[None])[0]  # [768]
 
     if image_id:

@@ -197,12 +197,28 @@ def parse_ingest_knobs(config):
     resize_precision = jax.lax.Precision.HIGHEST if precision == "highest" else None
     window = config.get_path("dataset.config.encode_window", None)
     window = (float(window[0]), float(window[1])) if window else None
-    return resize_hw, resize_method, resize_precision, window
+    # host-side exact k x k block-sum prepool (ops/resize.py::host_block_sum):
+    # cuts host-link bytes ~k^2/2 for uint8 sources; the device resamples the
+    # block-MEAN image exactly.  Requires encode_resize (it IS a resample
+    # front half); 0 = off (default — reference parity).
+    prepool = int(config.get_path("dataset.config.encode_host_prepool", 0) or 0)
+    if prepool:
+        if not 2 <= prepool <= 16:
+            raise ValueError(
+                "dataset.config.encode_host_prepool must be in [2, 16] "
+                f"(block sums must fit uint16/uint32), got {prepool}")
+        if resize_hw is None:
+            raise ValueError(
+                "dataset.config.encode_host_prepool requires "
+                "dataset.config.encode_resize: the prepool is the host half "
+                "of the resample chain and has no meaning at native "
+                "resolution (the tower would see block means, not pixels)")
+    return resize_hw, resize_method, resize_precision, window, prepool
 
 
 def build_encode_program(module, params, in_ch: int, window=None,
                          resize_hw=None, resize_method: str = "area",
-                         resize_precision=None):
+                         resize_precision=None, prepool: int = 0):
     """The jitted ``[n, H, W] uint8/uint16 -> [n, d] features`` program.
 
     Without ``resize_hw``: intensity transform (optionally windowed) fused
@@ -211,7 +227,16 @@ def build_encode_program(module, params, in_ch: int, window=None,
     (ops/resize.py, two MXU matmuls) -> intensity windowing ->
     normalization -> the tower's EXACT masked-encode path (``valid_hw``).
     Shared by the feature store, serving and generate_report (see
-    parse_ingest_knobs)."""
+    parse_ingest_knobs).
+
+    With ``prepool`` k > 0 (requires ``resize_hw``): the returned program
+    takes ``[n, ceil(H/k), ceil(W/k)]`` integer block SUMS
+    (ops/resize.py::host_block_sum) plus the static ``native_hw`` keyword —
+    the sum dtype carries the source scale (uint16 = 8-bit source, 257x;
+    uint32 = 16-bit source) — and resamples the block-mean image with
+    exactly-aggregated weights.  Callers prepool on the host BEFORE the
+    transfer; that is the point: the host link carries ~2 bytes per k^2
+    pixels."""
     if resize_hw is None:
 
         @jax.jit
@@ -225,7 +250,27 @@ def build_encode_program(module, params, in_ch: int, window=None,
 
     from ..models.convnext import _valid_mask
     from ..ops.preprocess import normalize_16bit, to_16bit
-    from ..ops.resize import resize_to_canvas
+    from ..ops.resize import resize_to_canvas, resize_to_canvas_from_block_sums
+
+    if prepool:
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("native_hw",))
+        def encode_prepooled(block_sums, *, native_hw):
+            # block sums are in SOURCE intensity units; scale to the 16-bit
+            # domain per the sum dtype (uint16 <=> uint8 source, x257 like
+            # to_16bit; uint32 <=> uint16 source, already 16-bit)
+            scale = 257.0 if block_sums.dtype == jnp.uint16 else 1.0
+            y, valid_hw = resize_to_canvas_from_block_sums(
+                block_sums, native_hw, resize_hw, prepool,
+                method=resize_method, precision=resize_precision)
+            x = normalize_16bit(y * scale, window=window)[..., None]
+            x = x * _valid_mask(x, valid_hw)
+            if in_ch > 1:
+                x = jnp.repeat(x, in_ch, axis=-1)
+            return module.apply(params, x, valid_hw=valid_hw)
+
+        return encode_prepooled
 
     @jax.jit
     def encode(pixels_u8):  # [n, H, W] uint8/uint16, any native shape
@@ -265,7 +310,7 @@ class _Encoder:
         # reference resizes nothing (image_features.py:28, ToTensor only) —
         # both knobs are off by default and PARITY.md documents them.
         (self.resize_hw, self.resize_method, self.resize_precision,
-         self.window) = parse_ingest_knobs(config)
+         self.window, self.prepool) = parse_ingest_knobs(config)
         if self.resize_hw and self.bucket_rounding:
             # resize already maps every image onto ONE output canvas; input
             # buckets stay exact-shape so each native resolution gets exact
@@ -275,6 +320,7 @@ class _Encoder:
             self.bucket_rounding = 0
         self.module, self.params, self.cn_config = load_convnext_tower(config)
         self._jitted: Dict = {}
+        self._prepool_warned: set = set()  # one k-vs-scale warning per shape
 
         # LOCAL devices only: each process feeds host-local pixel batches
         # (files already sharded per host by shard_items_for_host), and a
@@ -317,6 +363,7 @@ class _Encoder:
             window=self.window, resize_hw=self.resize_hw,
             resize_method=self.resize_method,
             resize_precision=self.resize_precision,
+            prepool=self.prepool,
         )
 
     def _masked_encode_fn(self):
@@ -412,8 +459,33 @@ class _Encoder:
                 result = encode(device_pixels, jnp.asarray(valid_hw))
             else:
                 pixels = np.stack([arr for _k, arr in chunk])
-                device_pixels, valid = self._to_device(pixels)  # async H2D
-                result = encode(device_pixels)
+                if self.resize_hw and self.prepool:
+                    # host half of the prepooled chain: the transfer carries
+                    # 2 bytes per k^2 pixels (ops/resize.py::host_block_sum);
+                    # the jitted program resamples the block means exactly
+                    from ..ops.resize import fit_shape, host_block_sum
+
+                    vh, vw = fit_shape(pixels.shape[1:3], self.resize_hw)
+                    scale = min(pixels.shape[1] / vh, pixels.shape[2] / vw)
+                    if self.prepool > scale and shape not in self._prepool_warned:
+                        # blocks coarser than the output grid: the resample
+                        # upscales block means — real fidelity loss, not the
+                        # bounded antialias approximation
+                        self._prepool_warned.add(shape)
+                        logger.warning(
+                            f"encode_host_prepool={self.prepool} exceeds the "
+                            f"downscale factor {scale:.2f} for native shape "
+                            f"{pixels.shape[1:3]} -> {self.resize_hw}: output "
+                            "cells are finer than the prepool blocks, features "
+                            "degrade beyond the documented bound. Use a "
+                            "smaller block (k <= downscale factor)."
+                        )
+                    sums = host_block_sum(pixels, self.prepool)
+                    device_sums, valid = self._to_device(sums)  # async H2D
+                    result = encode(device_sums, native_hw=tuple(int(d) for d in pixels.shape[1:3]))
+                else:
+                    device_pixels, valid = self._to_device(pixels)  # async H2D
+                    result = encode(device_pixels)
             pending.append((chunk, result, valid))
             while len(pending) > 2:
                 drain_one()  # convert older batches while this one runs

@@ -106,6 +106,77 @@ def resize2d(x, out_hw: Tuple[int, int], method: str = "area",
     return y.astype(dtype)
 
 
+def host_block_sum(pixels: np.ndarray, k: int) -> np.ndarray:
+    """[..., H, W] uint8/uint16 -> [..., ceil(H/k), ceil(W/k)] EXACT integer
+    k x k block sums (host side, pure adds — one touch per pixel).
+
+    This is the host half of the prepooled ingest chain
+    (``dataset.config.encode_host_prepool``): the host link then carries
+    2 bytes per k^2 pixels instead of 1-2 bytes per pixel — at k=4 a
+    2294x1914 uint8 mammogram shrinks 4.39 MB -> 0.55 MB, lifting the PCIe
+    ceiling the north-star bench prices ~16x — and the device reconstructs
+    the block-MEAN image exactly (integer sums lose nothing;
+    ``_block_sum_weights`` divides by the true per-block pixel counts,
+    including partial edge blocks, which are zero-padded here).
+
+    uint8 input sums into uint16 (k <= 16: 16^2 * 255 = 65280 fits),
+    uint16 into uint32 — the sum dtype also tells the device program which
+    source intensity scale applies (257x for 8-bit PNGs, 1x for 16-bit).
+    """
+    if pixels.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"host_block_sum expects uint8/uint16 pixels, got {pixels.dtype}")
+    if not 2 <= int(k) <= 16:
+        raise ValueError(f"prepool block must be in [2, 16], got {k}")
+    out_dtype = np.uint16 if pixels.dtype == np.uint8 else np.uint32
+    *lead, h, w = pixels.shape
+    hb, wb = -(-h // k), -(-w // k)
+    pad = [(0, 0)] * len(lead) + [(0, hb * k - h), (0, wb * k - w)]
+    x = np.pad(pixels, pad).astype(out_dtype)
+    return x.reshape(*lead, hb, k, wb, k).sum(axis=(-3, -1), dtype=out_dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _block_sum_weights(n_in: int, n_out: int, k: int, method: str) -> np.ndarray:
+    """[n_out, ceil(n_in/k)] float32 weights that resample integer k-block
+    SUMS directly: the per-pixel resample matrix with its columns aggregated
+    per block, divided by each block's TRUE pixel count.  Applying it to
+    block sums is EXACTLY the area/bilinear resample of the piecewise-
+    constant block-mean image — the only information lost vs the per-pixel
+    resample is within-block variation at output-cell boundaries (bounded by
+    tests/test_resize.py::test_prepool_error_bound; zero for block-constant
+    images)."""
+    w = _resize_weights(n_in, n_out, method)
+    nb = -(-n_in // k)
+    wp = np.zeros((n_out, nb * k), np.float32)
+    wp[:, :n_in] = w
+    wb = wp.reshape(n_out, nb, k).sum(-1)
+    counts = np.full(nb, float(k), np.float32)
+    counts[-1] = n_in - k * (nb - 1)
+    return wb / counts
+
+
+def resize_to_canvas_from_block_sums(sums, native_hw: Tuple[int, int],
+                                     canvas_hw: Tuple[int, int], k: int,
+                                     method: str = "area", dtype=jnp.float32,
+                                     precision=None):
+    """Device half of the prepooled ingest chain: [n, Hb, Wb] integer block
+    sums (``host_block_sum``) -> aspect-preserving resample onto the fixed
+    canvas in SOURCE intensity units, same top-left/zero-pad convention and
+    ``valid_hw`` contract as ``resize_to_canvas``."""
+    h, w = int(native_hw[0]), int(native_hw[1])
+    ch, cw = int(canvas_hw[0]), int(canvas_hw[1])
+    vh, vw = fit_shape((h, w), (ch, cw))
+    rh = jnp.asarray(_block_sum_weights(h, vh, int(k), method))
+    rw = jnp.asarray(_block_sum_weights(w, vw, int(k), method))
+    xf = sums.astype(jnp.float32)
+    y = jnp.einsum("oh,nhw->now", rh, xf, precision=precision)
+    y = jnp.einsum("pw,now->nop", rw, y, precision=precision)
+    y = y.astype(dtype)
+    y = jnp.pad(y, ((0, 0), (0, ch - vh), (0, cw - vw)))
+    valid_hw = jnp.broadcast_to(jnp.asarray([vh, vw], jnp.int32), (sums.shape[0], 2))
+    return y, valid_hw
+
+
 def fit_shape(in_hw: Tuple[int, int], canvas_hw: Tuple[int, int]) -> Tuple[int, int]:
     """Aspect-preserving fit of ``in_hw`` inside ``canvas_hw`` (static math:
     called at trace time with concrete bucket shapes)."""

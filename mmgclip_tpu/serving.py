@@ -68,16 +68,18 @@ class InferenceEngine:
         # config sets encode_resize / encode_window, online encodes must
         # apply them too, or served features silently come from a different
         # input distribution than the one the classifier was trained on
-        resize_hw, resize_method, resize_precision, window = parse_ingest_knobs(config)
+        (resize_hw, resize_method, resize_precision, window,
+         self._prepool) = parse_ingest_knobs(config)
         if resize_hw or window:
             logger.info(
                 f"Serving encode applies the configured ingest chain: "
-                f"resize={resize_hw} ({resize_method}), window={window}."
+                f"resize={resize_hw} ({resize_method}), window={window}, "
+                f"prepool={self._prepool}."
             )
         self._encode_jit = build_encode_program(
             self.encode_module, self.encode_params, self.cn_config.in_channels,
             window=window, resize_hw=resize_hw, resize_method=resize_method,
-            resize_precision=resize_precision,
+            resize_precision=resize_precision, prepool=self._prepool,
         )
         self._prompt_cache: Dict[tuple, jnp.ndarray] = {}
         self._cascade_table = None
@@ -139,9 +141,18 @@ class InferenceEngine:
             for (i, _px), vec in zip(items, feats):
                 out[i] = vec
 
-        for _shape, items in buckets.items():
-            stack = jnp.asarray(np.stack([px for _i, px in items]))  # async H2D
-            pending.append((items, self._encode_jit(stack)))  # async dispatch
+        for shape, items in buckets.items():
+            stack = np.stack([px for _i, px in items])
+            if self._prepool:
+                # same prepooled chain the feature store was built with —
+                # online features must match the stored distribution
+                from .ops.resize import host_block_sum
+
+                sums = jnp.asarray(host_block_sum(stack, self._prepool))
+                result = self._encode_jit(sums, native_hw=tuple(shape[:2]))
+            else:
+                result = self._encode_jit(jnp.asarray(stack))  # async H2D+dispatch
+            pending.append((items, result))
             if len(pending) > 1:
                 drain_one()
         while pending:

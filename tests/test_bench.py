@@ -39,10 +39,11 @@ TINY_ENV = {
 }
 
 
-def _run(mode):
+def _run(mode, extra_env=None):
     env = dict(os.environ)
     env.update(TINY_ENV)
     env["BENCH_MODE"] = mode
+    env.update(extra_env or {})
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, cwd=REPO, timeout=900, env=env,
@@ -265,3 +266,16 @@ def test_per_stage_time_frac_sums_to_one():
     # the fused blocks dominate; the unfused glue share is the stated gap
     glue = sum(f for g, f in fracs.items() if g.startswith(("stem", "down")))
     assert 0 < glue < 0.5
+
+def test_bench_ingest_prepool_smoke():
+    """BENCH_HOST_PREPOOL: block sums cross the link — bytes/image shrink
+    ~k^2/2 for uint8 sources and the pricing reflects the block grid."""
+    plain = _run("ingest")
+    pre = _run("ingest", {"BENCH_HOST_PREPOOL": "4"})
+    assert pre["detail"]["resample"]["host_prepool"] == 4
+    ratio = (plain["detail"]["native_bytes_per_image_mb"]
+             / pre["detail"]["native_bytes_per_image_mb"])
+    assert 7.0 < ratio <= 8.0  # 2 bytes per 16 px vs 1 byte per px (+ceil)
+    assert (pre["detail"]["v5e_projection"]["pcie_ceiling_img_per_sec"]
+            > plain["detail"]["v5e_projection"]["pcie_ceiling_img_per_sec"])
+    assert pre["value"] > 0

@@ -109,12 +109,14 @@ def _encode(ws, tag, overrides):
     return cfg.base.features_export_dir
 
 
-def _evaluate(ws, tag, features_dir):
+def _evaluate(ws, tag, features_dir, ckpt_dir=None):
     """Zero-shot eval of the SHARED checkpoint over a feature store."""
     run_dir = ws["root"] / f"eval_{tag}"
     run_dir.mkdir(exist_ok=True)
     cfg = _cfg(ws, run_dir)
     cfg.base.features_export_dir = features_dir
+    if ckpt_dir:
+        cfg.checkpoints.checkpoints_export_dir = str(ckpt_dir)
     mmgclip_tpu.seeding(int(cfg.base.seed))
     dataset = mmgclip_tpu.get_dataset(cfg.dataset.eval.dataset.name)(config=cfg)
     loader = mmgclip_tpu.DataLoaders(config=cfg, dataset_split=dataset).get_dataloader(
@@ -131,7 +133,7 @@ def _evaluate(ws, tag, features_dir):
     raise AssertionError(f"no AUC block in {results!r}")
 
 
-def _reports(ws, features_dir):
+def _reports(ws, features_dir, ckpt_dir=None):
     """Generated report text for every fixture patient from a feature store."""
     import generate_report as gr
     from mmgclip_tpu.evaluation.report_cascade import decide
@@ -141,7 +143,8 @@ def _reports(ws, features_dir):
     cfg.base.features_export_dir = features_dir
     tokenizer = mmgclip_tpu.Tokenizer.from_pretrained("x", sequence_length=32)
     model = mmgclip_tpu.MMGCLIP(cfg, seed=42, vocab_size=tokenizer.vocab_size)
-    ckp = os.path.join(cfg.checkpoints.checkpoints_export_dir, "model.msgpack")
+    ckp = os.path.join(str(ckpt_dir) if ckpt_dir
+                       else cfg.checkpoints.checkpoints_export_dir, "model.msgpack")
     state = load_checkpoint(ckp, model.trainable_params)
 
     texts = {}
@@ -197,3 +200,61 @@ def test_fastpath_preset_meets_product_quality_gates(workspace, default_run, var
     reports = _reports(workspace, features)
     assert reports == default_run["reports"], (
         f"{variant}: generated reports moved vs the default tower")
+
+# ---------------------------------------------------------------------------
+# encode_host_prepool is a speed knob of the RESIZE chain, so its product
+# gate compares resize-without-prepool (the baseline it approximates)
+# against resize-with-prepool on a checkpoint trained on the former —
+# same evidence chain as the tower presets above.
+
+
+def _encode_ingest(ws, tag, resize, prepool):
+    import encode_images
+
+    run_dir = ws["root"] / f"enc_{tag}"
+    run_dir.mkdir(exist_ok=True)
+    cfg = _cfg(ws, run_dir)
+    cfg.base.features_export_dir = str(ws["root"] / f"features_{tag}")
+    cfg.dataset.config.encode_resize = resize
+    if prepool:
+        cfg.dataset.config.encode_host_prepool = prepool
+    encode_images.extract(cfg)
+    return cfg.base.features_export_dir
+
+
+@pytest.fixture(scope="module")
+def resize_run(workspace):
+    """Encode with the resize chain (no prepool), train once on that store,
+    evaluate + generate reports — the prepool gate's baseline."""
+    import train
+
+    features = _encode_ingest(workspace, "resize16", [16, 16], 0)
+    run_dir = workspace["root"] / "train_run_resize"
+    run_dir.mkdir(exist_ok=True)
+    cfg = _cfg(workspace, run_dir)
+    cfg.base.features_export_dir = features
+    ckpt = str(workspace["root"] / "checkpoints_resize")
+    cfg.checkpoints.checkpoints_export_dir = ckpt
+    train.run(cfg)
+    aucs = _evaluate(workspace, "resize16", features, ckpt_dir=ckpt)
+    reports = _reports(workspace, features, ckpt_dir=ckpt)
+    return {"aucs": aucs, "reports": reports, "ckpt": ckpt}
+
+
+def test_prepool_meets_product_quality_gates(workspace, resize_run):
+    """The 32px fixtures downscale 2x onto the 16^2 canvas, so k=2 sits at
+    the knob's supported boundary (k <= downscale factor)."""
+    features = _encode_ingest(workspace, "resize16_pp2", [16, 16], 2)
+    aucs = _evaluate(workspace, "resize16_pp2", features,
+                     ckpt_dir=resize_run["ckpt"])
+    assert set(aucs) == set(resize_run["aucs"])
+    for prompt, base_auc in resize_run["aucs"].items():
+        delta = abs(base_auc - aucs[prompt])
+        assert delta <= 0.005, (
+            f"prepool/{prompt}: resize AUC {base_auc:.4f} vs "
+            f"{aucs[prompt]:.4f} (delta {delta:.4f} > 0.5%)")
+    assert max(resize_run["aucs"].values()) >= 0.9  # non-vacuous gate
+
+    reports = _reports(workspace, features, ckpt_dir=resize_run["ckpt"])
+    assert reports == resize_run["reports"], \
+        "prepool: generated reports moved vs the resize-chain baseline"

@@ -306,13 +306,190 @@ def test_encode_resize_precision_knob(tmp_path):
 
     cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
     cfg.dataset.config["encode_resize"] = 64
-    hw, method, prec, window = parse_ingest_knobs(cfg)
-    assert hw == (64, 64) and prec is None
+    hw, method, prec, window, prepool = parse_ingest_knobs(cfg)
+    assert hw == (64, 64) and prec is None and prepool == 0
 
     cfg.dataset.config["encode_resize_precision"] = "highest"
-    _hw, _m, prec, _w = parse_ingest_knobs(cfg)
+    _hw, _m, prec, _w, _p = parse_ingest_knobs(cfg)
     assert prec == jax.lax.Precision.HIGHEST
 
     cfg.dataset.config["encode_resize_precision"] = "bf16"
     with pytest.raises(ValueError, match="encode_resize_precision"):
         parse_ingest_knobs(cfg)
+
+# ---------------------------------------------------------------------------
+# host-prepool chain (encode_host_prepool): exact block sums on the host,
+# block-mean resample on device — the PCIe lever of the north-star chain
+
+
+def test_host_block_sum_exact_and_dtypes():
+    from mmgclip_tpu.ops.resize import host_block_sum
+
+    rng = np.random.default_rng(8)
+    x8 = rng.integers(0, 256, (2, 10, 13), dtype=np.uint8)  # partial blocks
+    s = host_block_sum(x8, 4)
+    assert s.shape == (2, 3, 4) and s.dtype == np.uint16
+    # exact integer sums incl. zero-padded partial edge blocks
+    ref = np.zeros((2, 12, 16), np.uint32)
+    ref[:, :10, :13] = x8
+    ref = ref.reshape(2, 3, 4, 4, 4).sum(axis=(2, 4))
+    np.testing.assert_array_equal(s.astype(np.uint32), ref)
+
+    x16 = rng.integers(0, 65536, (1, 32, 32), dtype=np.uint16)
+    s16 = host_block_sum(x16, 16)
+    assert s16.dtype == np.uint32
+    np.testing.assert_array_equal(
+        s16, x16.astype(np.uint64).reshape(1, 2, 16, 2, 16).sum(axis=(2, 4)))
+
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        host_block_sum(x8.astype(np.float32), 4)
+    with pytest.raises(ValueError, match="block"):
+        host_block_sum(x8, 32)
+
+
+def test_prepool_resample_exact_on_block_constant_images():
+    """For images constant within each k x k block the prepooled resample is
+    EXACTLY the per-pixel area resample (the only approximation is
+    within-block variation)."""
+    from mmgclip_tpu.ops.resize import (host_block_sum,
+                                        resize_to_canvas_from_block_sums)
+
+    rng = np.random.default_rng(9)
+    k, h, w = 4, 92, 76  # partial edge blocks (92=4*23, 76=4*19 exact; use odd)
+    h, w = 90, 74
+    blocks = rng.integers(0, 256, (1, -(-h // k), -(-w // k)), dtype=np.uint8)
+    x = np.repeat(np.repeat(blocks, k, axis=1), k, axis=2)[:, :h, :w]
+
+    exact, valid_exact = resize_to_canvas(jnp.asarray(x.astype(np.float32)), (32, 32))
+    sums = host_block_sum(x, k)
+    pre, valid_pre = resize_to_canvas_from_block_sums(
+        jnp.asarray(sums), (h, w), (32, 32), k)
+    np.testing.assert_array_equal(np.asarray(valid_exact), np.asarray(valid_pre))
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(exact), atol=2e-3)
+
+
+def test_prepool_error_bound():
+    """Random (worst-case-texture) images at a mammography-class downscale:
+    the block-mean approximation error after full-range normalization stays
+    small — the knob's fidelity basis (PARITY.md / PERF.md)."""
+    from mmgclip_tpu.ops.resize import (host_block_sum,
+                                        resize_to_canvas_from_block_sums)
+
+    rng = np.random.default_rng(10)
+    h, w, k = 574, 479, 4  # ~1/4-scale FFDM aspect; scale ~2.2 past prepool
+    x = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+    exact, _ = resize_to_canvas(jnp.asarray(x.astype(np.float32)), (64, 64))
+    pre, _ = resize_to_canvas_from_block_sums(
+        jnp.asarray(host_block_sum(x, k)), (h, w), (64, 64), k)
+    # both in source uint8 units; normalize to the tower's [-1, 1] domain
+    err = np.abs(np.asarray(pre) - np.asarray(exact)) * (257.0 / 32767.5)
+    assert err.max() < 0.15, err.max()
+    assert err.mean() < 0.03, err.mean()
+
+
+def test_encode_host_prepool_knob_validation():
+    from mmgclip_tpu.config import compose
+    from mmgclip_tpu.ingest.encode import parse_ingest_knobs
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.dataset.config["encode_host_prepool"] = 4
+    with pytest.raises(ValueError, match="requires"):
+        parse_ingest_knobs(cfg)  # prepool without resize
+    cfg.dataset.config["encode_resize"] = 64
+    *_rest, prepool = parse_ingest_knobs(cfg)
+    assert prepool == 4
+    cfg.dataset.config["encode_host_prepool"] = 32
+    with pytest.raises(ValueError, match="encode_host_prepool"):
+        parse_ingest_knobs(cfg)
+
+
+def test_prepool_e2e_feature_store(tmp_path):
+    """ImageFeatureExtractor with encode_resize + encode_host_prepool: the
+    stored features equal a direct call of the SAME prepooled program
+    (consistency), and stay close to the non-prepooled chain's features
+    (the documented approximation)."""
+    import pandas as pd
+    from PIL import Image
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+
+    rng = np.random.default_rng(11)
+    paths = []
+    # downscale factors >= k=4 (the knob's supported regime — a runtime
+    # warning fires when blocks are coarser than the output grid) and
+    # smooth low-frequency content + mild noise (mammography-like at this
+    # scale; pure noise is the pixel-bound test's job above)
+    for i, (h, w) in enumerate([(180, 148), (256, 256)]):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = (120 + 90 * np.sin(yy / 17.0) * np.cos(xx / 23.0)
+               + rng.normal(0, 6, (h, w)))
+        p = str(tmp_path / f"pp{i}.png")
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), mode="L").save(p)
+        paths.append(p)
+
+    def run(prepool, out):
+        cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+        cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+        cfg.base.features_export_dir = str(tmp_path / out)
+        cfg.dataset.config.encode_resize = [32, 32]
+        if prepool:
+            cfg.dataset.config.encode_host_prepool = prepool
+        ex = ImageFeatureExtractor(config=cfg, dataset=pd.DataFrame({"image_path": paths}),
+                                   batch_size=2)
+        assert ex.extract() == 2
+        feats = {}
+        for r, _d, fs in os.walk(str(tmp_path / out)):
+            for f in fs:
+                if f.endswith(".npy"):
+                    feats[f] = np.load(os.path.join(r, f))
+        assert len(feats) == 2
+        return feats, ex
+
+    plain, _ = run(0, "plain")
+    pre, ex = run(4, "pre")
+
+    # consistency: store == direct program call on the same inputs
+    from mmgclip_tpu.ops.resize import host_block_sum
+    from mmgclip_tpu.ingest.png_reader import decode_png
+
+    px = decode_png(paths[0])
+    fn = ex._jitted["resized_fn"]
+    direct = np.asarray(fn(jnp.asarray(host_block_sum(px[None], 4)),
+                           native_hw=px.shape[:2]))
+    np.testing.assert_allclose(pre["pp0.npy"].reshape(1, -1), direct, atol=1e-5)
+
+    # approximation: prepooled features near the exact chain's
+    for f in plain:
+        a, b = plain[f].ravel(), pre[f].ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        assert cos > 0.98, (f, cos)
+
+def test_prepool_warns_when_blocks_coarser_than_output(tmp_path, monkeypatch):
+    """k greater than the downscale factor upscales block means — the
+    extractor must say so (once per shape), naming the shapes."""
+    import pandas as pd
+    from PIL import Image
+
+    from mmgclip_tpu.config import Config, compose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+    from mmgclip_tpu.ingest import encode as enc
+
+    warnings = []
+    monkeypatch.setattr(enc.logger, "warning",
+                        lambda msg, *a: warnings.append(str(msg)))
+
+    rng = np.random.default_rng(12)
+    p = str(tmp_path / "small.png")
+    Image.fromarray(rng.integers(0, 256, (48, 40), dtype=np.uint8), mode="L").save(p)
+
+    cfg = compose(os.path.join(REPO, "configs"), "train_binary_class_clf")
+    cfg.networks.image_encoder.config = Config({"micro": True, "in_channels": 1})
+    cfg.base.features_export_dir = str(tmp_path / "enc_warn")
+    cfg.dataset.config.encode_resize = [32, 32]  # scale 1.5 < k=4
+    cfg.dataset.config.encode_host_prepool = 4
+
+    ex = ImageFeatureExtractor(config=cfg, dataset=pd.DataFrame({"image_path": [p]}),
+                               batch_size=1)
+    assert ex.extract() == 1
+    assert any("exceeds the downscale factor" in w for w in warnings)

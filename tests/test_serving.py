@@ -597,3 +597,36 @@ def test_shutdown_resolves_pending_futures(experiment, tmp_path, monkeypatch):
     assert set(by_id) == {1, 2, 3}
     for rid in (1, 2, 3):
         assert "shutting down" in by_id[rid]["error"]
+
+def test_engine_encode_applies_prepool(experiment, tmp_path):
+    """encode_host_prepool is part of the ingest chain contract: a feature
+    store built from host block sums must be served from the SAME prepooled
+    program, byte-close — and the engine must accept the knob end to end."""
+    import pandas as pd
+
+    from mmgclip_tpu.config import recompose
+    from mmgclip_tpu.ingest import ImageFeatureExtractor
+
+    run_dir, png, _exam_dir = experiment
+    cfg = recompose(run_dir)
+    cfg.checkpoints.checkpoints_export_dir = os.path.join(run_dir, "checkpoints")
+    cfg.dataset.config.encode_resize = [8, 8]
+    cfg.dataset.config.encode_host_prepool = 2
+    cfg.base.features_export_dir = str(tmp_path / "store_pp")
+
+    extractor = ImageFeatureExtractor(
+        config=cfg, dataset=pd.DataFrame({"image_path": [png]}), batch_size=2
+    )
+    assert extractor.extract() == 1
+    stored_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(str(tmp_path / "store_pp"))
+        for f in fs
+        if f.endswith(".npy")
+    ]
+    assert len(stored_files) == 1
+    stored = np.load(stored_files[0])
+
+    engine = InferenceEngine(cfg)
+    served = engine.encode_paths([png])
+    np.testing.assert_allclose(served[0], stored.reshape(-1), atol=1e-5)
